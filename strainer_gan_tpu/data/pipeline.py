@@ -1,0 +1,79 @@
+"""Device-resident input pipeline (component C2, the BASELINE.json north star).
+
+The reference's DataLoader re-decodes and re-normalizes every image every epoch
+in host worker processes (`#%basic.py:76-77`).  Here the whole (contaminated)
+dataset lives in HBM as uint8; each jitted step gathers its batch with a
+device-side ``take`` and fuses the ``(x/255 - 0.5)/0.5`` normalization
+(`#%basic.py:73`) into the step.  The only per-epoch host crossing is one
+scalar (the surviving-sample count, to fix the step count).
+
+Strained "subsets" are never materialized: the strainer produces a boolean
+``active`` mask over the full dataset, and the epoch sampler permutes indices
+and stably partitions active-first — equivalent to shuffling the Subset
+(`# final.py:421-427`) but entirely on device with static shapes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mixers import Mixture
+
+
+def normalize_u8(batch_u8: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """uint8 [0,255] -> dtype [-1,1]; matches ToTensor+Normalize(0.5,0.5)."""
+    x = batch_u8.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+    return x.astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("num", "batch_size"))
+def epoch_batch_indices(
+    key: jax.Array, active: jnp.ndarray, num: int, batch_size: int
+) -> jnp.ndarray:
+    """Device-side epoch sampler.
+
+    Permute all N indices, stably sort actives first, reshape the first
+    ``num*batch_size`` into (num, batch_size).  With ``num`` <=
+    floor(n_active/batch_size) every batch contains only active samples and
+    each active sample appears at most once — the exact semantics of
+    ``DataLoader(Subset(...), shuffle=True, drop_last=True)``.
+    """
+    n = active.shape[0]
+    perm = jax.random.permutation(key, n)
+    inactive_first = jnp.logical_not(active[perm])
+    order = jnp.argsort(inactive_first, stable=True)
+    shuffled = perm[order]
+    return shuffled[: num * batch_size].reshape(num, batch_size)
+
+
+class DeviceDataset:
+    """uint8 images + source ids resident on device."""
+
+    def __init__(self, mixture: Mixture, sharding=None):
+        self.images = jax.device_put(mixture.images, sharding)
+        self.source_id = jax.device_put(mixture.source_id, sharding)
+        self.labels = jnp.asarray(mixture.labels)
+        self.n = mixture.images.shape[0]
+        self.image_shape = mixture.images.shape[1:]
+
+    def steps_per_epoch(self, active: Optional[jnp.ndarray], batch_size: int,
+                        drop_last: bool = True) -> int:
+        n_active = self.n if active is None else int(jnp.sum(active))
+        if drop_last:
+            return n_active // batch_size
+        return -(-n_active // batch_size)
+
+    def epoch_indices(self, key, active: Optional[jnp.ndarray], batch_size: int,
+                      drop_last: bool = True) -> jnp.ndarray:
+        if active is None:
+            active = jnp.ones((self.n,), bool)
+        num = self.steps_per_epoch(active, batch_size, drop_last)
+        return epoch_batch_indices(key, active, num, batch_size)
+
+    def gather(self, idx: jnp.ndarray) -> jnp.ndarray:
+        """Gather a uint8 batch (stays on device; call inside jit)."""
+        return jnp.take(self.images, idx, axis=0)

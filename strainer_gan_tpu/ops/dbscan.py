@@ -1,0 +1,108 @@
+"""On-device DBSCAN noise detection (component C14).
+
+The reference runs ``sklearn.cluster.DBSCAN(eps=20, min_samples=3)`` on
+StandardScaler-normalized ResNet18 features and uses only the fraction of
+points labeled != -1 as a "clean ratio" (`# z_score + DBSCAN.py:272-302`).
+
+Crucial simplification: cluster *identities* are never used — only
+noise-vs-not.  Under DBSCAN semantics a point is non-noise iff it is a core
+point (>= min_samples neighbors within eps, counting itself, as sklearn's
+radius query does) or lies within eps of a core point (border).  That is
+computable with two blocked pairwise-distance passes and no union-find, which
+maps cleanly onto the MXU (each block is a matmul-shaped \\|a-b\\|^2 expansion).
+
+Cost is O(N^2 D) — identical to sklearn's dense path — but runs at matmul
+speed on the TPU instead of single-core on host.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def standardize(features: jnp.ndarray, valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """``sklearn.preprocessing.StandardScaler`` (population std, zeros kept)."""
+    if valid is None:
+        mean = jnp.mean(features, axis=0)
+        std = jnp.std(features, axis=0)
+    else:
+        w = valid.astype(features.dtype)[:, None]
+        n = jnp.maximum(jnp.sum(w), 1.0)
+        mean = jnp.sum(features * w, axis=0) / n
+        std = jnp.sqrt(jnp.sum(w * (features - mean) ** 2, axis=0) / n)
+    std = jnp.where(std == 0.0, 1.0, std)
+    return (features - mean) / std
+
+
+def _block_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean distances via the matmul expansion (MXU-friendly)."""
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=1, keepdims=True)
+    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(a2 - 2.0 * ab + b2.T, 0.0)
+
+
+@partial(jax.jit, static_argnames=("min_samples", "block"))
+def dbscan_non_noise(
+    features: jnp.ndarray,
+    eps: float = 20.0,
+    min_samples: int = 3,
+    valid: jnp.ndarray | None = None,
+    block: int = 4096,
+) -> jnp.ndarray:
+    """Boolean (N,) mask: True where DBSCAN would label the point != -1.
+
+    ``valid`` masks out padding rows (excluded from all neighbor counts).
+    Memory: O(N * block); compute: two N^2 D passes, blocked over rows.
+    """
+    n, _ = features.shape
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    x = features.astype(jnp.float32)
+    eps2 = jnp.float32(eps) ** 2
+    vf = valid.astype(jnp.float32)
+
+    nblocks = -(-n // block)
+    pad = nblocks * block - n
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    vp = jnp.pad(vf, (0, pad))
+    xb = xp.reshape(nblocks, block, -1)
+
+    def count_pass(carry, blk):
+        # neighbor count within eps for each row of blk against all points
+        d2 = _block_sqdist(blk, x)  # (block, N)
+        cnt = jnp.sum((d2 <= eps2) * vf[None, :], axis=1)
+        return carry, cnt
+
+    _, counts = jax.lax.scan(count_pass, None, xb)
+    counts = counts.reshape(-1)[:n]
+    core = jnp.logical_and(counts >= min_samples, valid)
+
+    cf = core.astype(jnp.float32)
+
+    def border_pass(carry, blk):
+        d2 = _block_sqdist(blk, x)
+        near_core = jnp.sum((d2 <= eps2) * cf[None, :], axis=1) > 0
+        return carry, near_core
+
+    _, near = jax.lax.scan(border_pass, None, xb)
+    near = near.reshape(-1)[:n]
+    return jnp.logical_and(jnp.logical_or(core, near), valid)
+
+
+def dbscan_clean_ratio(
+    features: jnp.ndarray,
+    eps: float = 20.0,
+    min_samples: int = 3,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """`estimate_ratio_dbscan` (`# z_score + DBSCAN.py:295-300`):
+    fraction of (valid) points that are non-noise after standardization."""
+    x = standardize(features, valid)
+    non_noise = dbscan_non_noise(x, eps, min_samples, valid)
+    if valid is None:
+        return jnp.mean(non_noise.astype(jnp.float32))
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(non_noise) / denom

@@ -1,0 +1,116 @@
+"""2-component 1-D Gaussian mixture EM + analytic intersection threshold (C16).
+
+The reference fits ``sklearn.mixture.GaussianMixture(n_components=2,
+max_iter=10, tol=1e-2, reg_covar=5e-4)`` on per-sample discriminator losses and
+thresholds at the analytic intersection of the two fitted Gaussians
+(`#clean 분포와 noisy 분포가 만나는 지점의 loss보다 작은 데.py:289-316`,
+`# 종합 loss.py:270-285`).
+
+This implementation runs the same EM on device with the same hyperparameters.
+Deviations (documented; sklearn's defaults are nondeterministic):
+* init: sklearn defaults to k-means init with an unseeded RNG.  We initialize
+  the two means deterministically at the 25th/75th percentiles of the data,
+  which converges to the same bimodal split on loss distributions.
+* tol check: on the change of mean log-likelihood, like sklearn.
+
+Supports a validity mask so the EM runs over only the currently-active subset
+with static shapes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import stats
+
+
+class GMM1D(NamedTuple):
+    means: jnp.ndarray  # (2,)
+    vars: jnp.ndarray  # (2,)
+    weights: jnp.ndarray  # (2,)
+
+
+def _log_gauss(x, mean, var):
+    return -0.5 * (jnp.log(2.0 * jnp.pi * var) + (x - mean) ** 2 / var)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def fit_gmm2(
+    x: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    max_iter: int = 10,
+    tol: float = 1e-2,
+    reg_covar: float = 5e-4,
+) -> GMM1D:
+    x = x.astype(jnp.float32)
+    if valid is None:
+        valid = jnp.ones_like(x, dtype=bool)
+    w = valid.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+
+    m0 = stats.masked_percentile(x, valid, 25.0)
+    m1 = stats.masked_percentile(x, valid, 75.0)
+    mean_all = jnp.sum(x * w) / n
+    var_all = jnp.sum(w * (x - mean_all) ** 2) / n + reg_covar
+
+    init = (
+        GMM1D(jnp.stack([m0, m1]), jnp.stack([var_all, var_all]),
+              jnp.array([0.5, 0.5])),
+        jnp.float32(-jnp.inf),  # previous mean log-likelihood
+        jnp.int32(0),
+        jnp.bool_(False),  # converged
+    )
+
+    def cond(state):
+        _, _, it, converged = state
+        return jnp.logical_and(it < max_iter, jnp.logical_not(converged))
+
+    def body(state):
+        gmm, prev_ll, it, _ = state
+        # E-step
+        log_prob = _log_gauss(x[:, None], gmm.means[None, :], gmm.vars[None, :])
+        log_weighted = log_prob + jnp.log(gmm.weights)[None, :]
+        log_norm = jax.scipy.special.logsumexp(log_weighted, axis=1)
+        resp = jnp.exp(log_weighted - log_norm[:, None]) * w[:, None]
+        ll = jnp.sum(log_norm * w) / n
+        # M-step
+        nk = jnp.sum(resp, axis=0) + 10.0 * jnp.finfo(jnp.float32).eps
+        means = jnp.sum(resp * x[:, None], axis=0) / nk
+        vars_ = jnp.sum(resp * (x[:, None] - means[None, :]) ** 2, axis=0) / nk
+        vars_ = vars_ + reg_covar
+        weights = nk / n
+        converged = jnp.abs(ll - prev_ll) < tol
+        return (GMM1D(means, vars_, weights), ll, it + 1, converged)
+
+    gmm, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return gmm
+
+
+def gaussian_intersection_threshold(gmm: GMM1D) -> jnp.ndarray:
+    """Analytic intersection of the two fitted Gaussians.
+
+    Exact formula from `#clean 분포...py:300-307`: solve the quadratic from
+    equating the two (unweighted) Gaussian log-densities and take the
+    ``(-b + sqrt(b^2-4ac)) / 2a`` root.
+    """
+    means, stds = gmm.means, jnp.sqrt(gmm.vars)
+    ci = jnp.argmin(means)
+    ni = 1 - ci
+    mc, mn = means[ci], means[ni]
+    sc, sn = stds[ci], stds[ni]
+    a = 1.0 / (2.0 * sc**2) - 1.0 / (2.0 * sn**2)
+    b = mn / sn**2 - mc / sc**2
+    c = mc**2 / (2.0 * sc**2) - mn**2 / (2.0 * sn**2) - jnp.log(sn / sc)
+    disc = b**2 - 4.0 * a * c
+    # Equal-variance degenerate case (a==0): intersection is the midpoint.
+    mid = jnp.where(jnp.abs(b) > 0, -c / jnp.where(b == 0, 1.0, b), (mc + mn) / 2)
+    root = (-b + jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a)
+    return jnp.where(jnp.abs(a) < 1e-12, mid, root)
+
+
+def gmm_threshold(x: jnp.ndarray, valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Fit + intersect in one call (`# 종합 loss.py:270-285`)."""
+    return gaussian_intersection_threshold(fit_gmm2(x, valid))

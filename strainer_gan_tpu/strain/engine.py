@@ -1,0 +1,239 @@
+"""Strainer orchestration (components C12-C21 wiring).
+
+Maps each StrainConfig.method to the reference's exact schedule:
+
+| method              | when                         | reference flow                |
+|---------------------|------------------------------|-------------------------------|
+| zscore_fixed        | once AT start_epoch (or      | `#z_score.py:309-321`;        |
+|                     | prefilter, MNIST)            | `# 1,2,8.py:229-239`          |
+| zscore_elbow        | prefilter once               | `#z_score + 엘보우...:350-359`|
+| zscore_dbscan       | prefilter once               | `# z_score + DBSCAN.py:339-358`|
+| loss_gmm            | every epoch (reset at end)   | `#clean 분포...py:330-339,414`|
+| loss_ensemble       | every epoch >= 3, order-     | `# 종합 loss.py:360-377,456`  |
+|                     | truncated by ratio schedule  |                               |
+| loss_percentile     | every epoch >= 3, re-refined | `# final.py:440-448`;         |
+|                     | from the prefiltered base    | `#strainer gan.py:571-576`    |
+| autoencoder         | AE trained at epoch 3, strain| `#autoencoder.py:339-357`     |
+|                     | every epoch >= 3 from full   |                               |
+| batch_quantile_mask | inside the train step        | `# 상위 10%...X.py:280-291`   |
+
+The engine never materializes subsets: it maintains boolean masks over the
+full device-resident dataset ("filtering decisions never leave HBM").
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ExperimentConfig
+from ..data.pipeline import DeviceDataset, normalize_u8
+from ..models.autoencoder import ConvAutoEncoder, reconstruction_errors
+from ..train.schedules import clean_ratio_at
+from . import score as SC
+from . import thresholds as TH
+
+
+def _truncate_in_order(mask: jnp.ndarray, num_keep: jnp.ndarray) -> jnp.ndarray:
+    """Keep only the first ``num_keep`` True entries in dataset order —
+    ``Subset(clean_dataset, range(num_clean))`` (`# 종합 loss.py:371-372`)."""
+    ranks = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    return jnp.logical_and(mask, ranks < num_keep)
+
+
+class StrainerEngine:
+    """Holds strainer state (base mask, AE params, pool) across epochs."""
+
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        disc,
+        dataset: DeviceDataset,
+        feature_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+        score_batch: int = 64,
+    ):
+        self.cfg = cfg
+        self.sc = cfg.strain
+        self.disc = disc
+        self.dataset = dataset
+        self.feature_fn = feature_fn
+        self.score_batch = score_batch
+        self.flatten = cfg.data.flatten
+        n = dataset.n
+        self.base_active = jnp.ones((n,), bool)  # after prefilter/permanent strain
+        self.active = jnp.ones((n,), bool)
+        self.d_bn_eval = False  # quirk: eval mode sticks after scoring
+        self.ae = None
+        self.ae_params = None
+        self.last_threshold = None
+        self._features = None  # cached features for prefilter-style strainers
+
+    # ------------------------------------------------------------------ utils
+    def _features_full(self) -> jnp.ndarray:
+        if self._features is None:
+            if self.feature_fn is None:
+                raise ValueError(
+                    f"strainer {self.sc.method!r} needs a feature extractor"
+                )
+            self._features = SC.score_features(
+                self.feature_fn, self.dataset, self.score_batch
+            )
+        return self._features
+
+    def _losses(self, state) -> jnp.ndarray:
+        losses = SC.score_d_losses(
+            self.disc, state.d_params, state.d_stats, self.dataset,
+            real_label=self.cfg.train.real_label,
+            batch_size=self.score_batch, flatten=self.flatten,
+        )
+        if self.sc.bn_eval_after_score:
+            self.d_bn_eval = True  # SURVEY §2.4 item 4
+        return losses
+
+    def _zscore_mask(self, valid=None):
+        feats = self._features_full()
+        sc = self.sc
+        if sc.method == "zscore_fixed" or (
+            sc.method == "loss_percentile" and sc.z_threshold is not None
+        ):
+            mask, thr = TH.zscore_fixed_mask(
+                feats, sc.z_threshold, sc.z_std_mode, sc.strict_less, valid
+            )
+        elif sc.method == "zscore_elbow" or sc.z_threshold is None:
+            mask, thr = TH.zscore_elbow_mask(feats, sc.z_std_mode, valid)
+        elif sc.method == "zscore_dbscan":
+            ratio = TH.dbscan_clean_ratio(
+                feats, sc.dbscan_eps, sc.dbscan_min_samples, valid
+            )
+            mask, thr = TH.zscore_quantile_mask(feats, ratio, sc.z_std_mode, valid)
+        else:
+            raise AssertionError(sc.method)
+        self.last_threshold = thr
+        return mask
+
+    # ------------------------------------------------------------- lifecycle
+    def prefilter(self, key: jax.Array) -> jnp.ndarray:
+        """Once-before-training strain (`# final.py:414-427` z-score;
+        elbow/DBSCAN variants).  Returns the base active mask."""
+        sc = self.sc
+        if not sc.prefilter or sc.method == "none":
+            return self.active
+        mask = self._zscore_mask()
+        self.base_active = mask
+        self.active = mask
+        return self.active
+
+    def outlier_mask(self) -> jnp.ndarray:
+        """Complement of the z-score inlier mask — the fake-pool source
+        (`# fake concate.py:546-548`)."""
+        feats = self._features_full()
+        thr = self.sc.z_threshold if self.sc.z_threshold is not None else 5.0
+        mask, _ = TH.zscore_fixed_mask(
+            feats, thr, self.sc.z_std_mode, self.sc.strict_less
+        )
+        return jnp.logical_not(mask)
+
+    def on_epoch_start(self, epoch: int, state, key: jax.Array) -> jnp.ndarray:
+        sc = self.sc
+        m = sc.method
+        if m in ("none", "batch_quantile_mask"):
+            return self.active
+
+        if m in ("zscore_fixed", "zscore_elbow", "zscore_dbscan"):
+            if sc.prefilter or sc.every_epoch:
+                return self.active
+            if epoch == sc.start_epoch:  # `#z_score.py:309-321`: once, at 3
+                mask = self._zscore_mask()
+                self.base_active = mask
+                self.active = mask
+            return self.active
+
+        if m == "loss_gmm" and epoch >= sc.start_epoch:
+            losses = self._losses(state)
+            mask, thr = TH.gmm_mask(losses)  # over the FULL set (`:330-339`)
+            self.last_threshold = thr
+            self.active = mask
+            return self.active
+
+        if m == "loss_ensemble" and epoch >= sc.start_epoch:
+            losses = self._losses(state)
+            mask, thr = TH.ensemble_mask(losses)
+            self.last_threshold = thr
+            ratio = clean_ratio_at(epoch, sc.clean_ratio_schedule)
+            num_keep = (jnp.sum(mask) * ratio).astype(jnp.int32)
+            self.active = _truncate_in_order(mask, num_keep)
+            return self.active
+
+        if m == "loss_percentile" and epoch >= sc.start_epoch:
+            losses = self._losses(state)
+            if sc.final_py_ratio_inversion:
+                # quirk #1 (`# final.py:443`): clean_ratio passed AS loss_ratio
+                ratio = clean_ratio_at(epoch, sc.clean_ratio_schedule)
+                loss_ratio = ratio
+            else:
+                loss_ratio = sc.loss_ratio
+            mask, thr = TH.percentile_refine_mask(
+                losses, loss_ratio, valid=self.base_active
+            )
+            self.last_threshold = thr
+            self.active = mask
+            return self.active
+
+        if m == "autoencoder":
+            if epoch == sc.ae_train_epoch:
+                self._train_autoencoder(key)
+            if epoch >= sc.start_epoch and self.ae_params is not None:
+                errors = SC.score_ae_errors(
+                    self.ae, self.ae_params, self.dataset, self.score_batch
+                )
+                mask, thr = TH.ae_error_mask(errors, sc.ae_sigma)
+                self.last_threshold = thr
+                self.active = mask  # reset-to-full then strain (`:346-351`)
+            return self.active
+
+        return self.active
+
+    def on_epoch_end(self, epoch: int) -> jnp.ndarray:
+        if self.sc.reset_each_epoch:
+            self.active = self.base_active  # `#clean 분포...py:414-415`
+        return self.active
+
+    # ----------------------------------------------------------- AE training
+    def _train_autoencoder(self, key: jax.Array):
+        """`train_autoencoder` (`#autoencoder.py:296-305`): Adam(1e-3), MSE,
+        5 epochs over the current (active) dataset."""
+        cfg = self.cfg
+        self.ae = ConvAutoEncoder(
+            nc=cfg.model.nc,
+            compute_dtype=jnp.float32,  # MSE training is cheap; keep f32
+        )
+        k_init, key = jax.random.split(key)
+        dummy = jnp.zeros(
+            (2, cfg.data.image_size, cfg.data.image_size, cfg.model.nc), jnp.float32
+        )
+        params = self.ae.init({"params": k_init}, dummy)["params"]
+        tx = optax.adam(self.sc.ae_lr)
+        opt = tx.init(params)
+
+        @jax.jit
+        def ae_step(params, opt, batch_u8):
+            x = normalize_u8(batch_u8, jnp.float32)
+
+            def loss_fn(p):
+                recon = self.ae.apply({"params": p}, x)
+                return jnp.mean((recon - x) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt, params)
+            return optax.apply_updates(params, updates), opt, loss
+
+        bs = cfg.data.batch_size
+        for ep in range(self.sc.ae_train_epochs):
+            key, k = jax.random.split(key)
+            idx = self.dataset.epoch_indices(k, self.active, bs, drop_last=False)
+            for b in range(idx.shape[0]):
+                batch = self.dataset.gather(idx[b])
+                params, opt, _ = ae_step(params, opt, batch)
+        self.ae_params = params

@@ -1,0 +1,97 @@
+"""Full-dataset scoring passes (components C12, C15, C7-scoring).
+
+The reference's per-epoch strain re-scores every surviving sample with an
+extra forward pass, gathering scores to host numpy (`# final.py:343-374`,
+`#z_score.py:276-294`).  Here the pass is a ``lax.scan`` over HBM-resident
+uint8 batches: gather -> fused normalize -> forward -> per-sample score, with
+scores staying in HBM.  BASELINE.json's "filtering decisions never leave HBM".
+
+Scoring runs over the FULL dataset every time (static shapes); the caller
+intersects with the current ``active`` mask.  All loss scorers put D in eval
+mode (`#clean 분포...py:275` — BN running stats, dropout off), which makes
+scores batch-independent, so scanning the full set in order is exactly
+equivalent to the reference's subset DataLoader pass.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..data.pipeline import DeviceDataset, normalize_u8
+from ..ops import losses as L
+
+
+def _scan_batches(apply_fn: Callable, images_u8: jnp.ndarray, batch_size: int,
+                  out_dim: Optional[int] = None) -> jnp.ndarray:
+    """Run ``apply_fn(batch_normalized) -> (b,) or (b, d)`` over all samples."""
+    n = images_u8.shape[0]
+    nb = -(-n // batch_size)
+    pad = nb * batch_size - n
+
+    def body(_, idx):
+        batch = jax.lax.dynamic_index_in_dim(padded, idx, axis=0, keepdims=False)
+        return _, apply_fn(batch)
+
+    padded = jnp.concatenate(
+        [images_u8, jnp.zeros((pad,) + images_u8.shape[1:], images_u8.dtype)]
+    ) if pad else images_u8
+    padded = padded.reshape((nb, batch_size) + images_u8.shape[1:])
+    _, outs = jax.lax.scan(body, None, jnp.arange(nb))
+    outs = outs.reshape((nb * batch_size,) + outs.shape[2:])
+    return outs[:n]
+
+
+def score_d_losses(
+    disc, d_params, d_stats, dataset: DeviceDataset, real_label: float = 1.0,
+    batch_size: int = 64, flatten: bool = False,
+) -> jnp.ndarray:
+    """Per-sample BCE(D(x), real_label) with D in eval mode.
+
+    Replicates `refine_dataset_by_loss`'s scoring loop (`# final.py:343-356`)
+    and `evaluate_dataset` (`#clean 분포...py:272-287`; that script's BCE is
+    over D's (N,1) output then ``.mean(dim=1)`` — identical per-sample value).
+    """
+
+    def apply_fn(batch_u8):
+        x = normalize_u8(batch_u8, disc.compute_dtype)
+        if flatten:
+            x = x.reshape(x.shape[0], -1)
+        logits = disc.apply(
+            {"params": d_params, "batch_stats": d_stats}, x, train=False
+        )
+        return L.bce_from_logits(logits, real_label)
+
+    return _scan_batches(apply_fn, dataset.images, batch_size)
+
+
+def score_features(
+    extractor_apply: Callable[[jnp.ndarray], jnp.ndarray],
+    dataset: DeviceDataset, batch_size: int = 64,
+) -> jnp.ndarray:
+    """Feature pass for the z-score strainers (`#z_score.py:276-283`).
+
+    ``extractor_apply``: normalized image batch -> (b, D) features (eval mode).
+    """
+
+    def apply_fn(batch_u8):
+        x = normalize_u8(batch_u8, jnp.float32)
+        return extractor_apply(x)
+
+    return _scan_batches(apply_fn, dataset.images, batch_size)
+
+
+def score_ae_errors(
+    ae, ae_params, dataset: DeviceDataset, batch_size: int = 64
+) -> jnp.ndarray:
+    """Per-sample AE reconstruction MSE (`#autoencoder.py:307-322`)."""
+    from ..models.autoencoder import reconstruction_errors
+
+    def apply_fn(batch_u8):
+        x = normalize_u8(batch_u8, ae.compute_dtype)
+        recon = ae.apply({"params": ae_params}, x)
+        return reconstruction_errors(recon, x)
+
+    return _scan_batches(apply_fn, dataset.images, batch_size)

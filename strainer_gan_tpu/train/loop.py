@@ -1,0 +1,174 @@
+"""The epoch driver (components C11, C21, C24 wiring).
+
+``Trainer`` turns an ExperimentConfig into a run: builds the mixture, stages
+it in HBM, constructs models/state, wires the StrainerEngine and fake pool,
+and drives the per-epoch schedule exactly as the reference scripts do
+(prefilter -> [lr adjust] -> [re-strain] -> batch loop -> [reset]).
+
+The whole batch loop runs as jitted steps over device-resident data; the only
+per-epoch host crossings are the surviving-sample count (one scalar, to fix
+the step count) and whatever the logger prints.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..data import DeviceDataset, build_mixture
+from ..models import build_models
+from ..obs.metrics import MetricsLogger
+from ..strain.engine import StrainerEngine
+from ..strain.pool import build_fake_pool
+from .schedules import lr_at
+from .state import GANState, create_state
+from .steps import StepConfig, make_train_step
+
+
+def step_config_from(cfg: ExperimentConfig) -> StepConfig:
+    t, s, m = cfg.train, cfg.strain, cfg.model
+    if t.adam_defaults:
+        beta1, beta2 = 0.9, 0.999
+    else:
+        beta1, beta2 = t.beta1, t.beta2
+    return StepConfig(
+        d_loss_reduction=t.d_loss_reduction,
+        g_before_d=t.g_before_d,
+        real_label=t.real_label,
+        fake_label=t.fake_label,
+        batch_mask=s.method == "batch_quantile_mask",
+        mask_quantile=s.mask_quantile,
+        in_batch_recycle=s.fake_concat == "in_batch",
+        recycle_quantile=s.in_batch_recycle_quantile,
+        pool_concat=s.fake_concat == "pool",
+        has_dropout=m.d_dropout > 0,
+        flatten=cfg.data.flatten,
+        beta1=beta1,
+        beta2=beta2,
+        nz=m.nz,
+    )
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        feature_fn: Optional[Callable] = None,
+        max_synth: Optional[int] = None,
+        logger: Optional[MetricsLogger] = None,
+        dataset: Optional[DeviceDataset] = None,
+    ):
+        self.cfg = cfg
+        self.mixture = None
+        if dataset is None:
+            self.mixture = build_mixture(cfg.data, max_synth=max_synth)
+            dataset = DeviceDataset(self.mixture)
+        self.dataset = dataset
+        self.gen, self.disc = build_models(cfg.model)
+        self.key = jax.random.PRNGKey(cfg.train.seed)
+        self.key, k_init = jax.random.split(self.key)
+        self.state = create_state(cfg, self.gen, self.disc, k_init)
+        self.engine = StrainerEngine(
+            cfg, self.disc, self.dataset, feature_fn=feature_fn,
+            score_batch=64,
+        )
+        self.scfg = step_config_from(cfg)
+        self.step_fn = make_train_step(self.gen, self.disc, self.scfg)
+        style = "mnist" if cfg.model.arch == "mlp" else "dcgan"
+        self.logger = logger or MetricsLogger(
+            log_every=cfg.train.log_every, style=style
+        )
+        self.pool: Optional[jnp.ndarray] = None
+        self.fixed_noise = jax.random.normal(
+            jax.random.PRNGKey(cfg.train.seed + 7),
+            (cfg.train.fixed_noise_n, cfg.model.nz),
+        )
+        self.epoch_loss_history: List[np.ndarray] = []
+        self.mask_history: List[np.ndarray] = []
+
+    # ------------------------------------------------------------------- run
+    def setup(self):
+        """Pre-training strain + pool staging."""
+        s = self.cfg.strain
+        self.key, k1, k2 = jax.random.split(self.key, 3)
+        if s.prefilter and s.method != "none":
+            self.engine.prefilter(k1)
+        if s.fake_concat == "pool":
+            outliers = self.engine.outlier_mask()
+            self.pool = build_fake_pool(
+                self.dataset, outliers, s.fake_pool_fraction, k2
+            )
+
+    def run_epoch(self, epoch: int) -> Dict:
+        cfg, s, t = self.cfg, self.cfg.strain, self.cfg.train
+        self.key, k_strain, k_perm, k_steps = jax.random.split(self.key, 4)
+
+        active = self.engine.on_epoch_start(epoch, self.state, k_strain)
+        self.mask_history.append(np.asarray(active))
+
+        lr_g = lr_at(t.lr_g, epoch, t)
+        lr_d = lr_at(t.lr_d, epoch, t)
+
+        bs = cfg.data.batch_size
+        idx = self.dataset.epoch_indices(k_perm, active, bs, cfg.data.drop_last)
+        steps = int(idx.shape[0])
+
+        mask_on = s.method == "batch_quantile_mask" and epoch >= s.mask_start_epoch
+        recycle_on = s.fake_concat == "in_batch" and epoch >= s.fake_concat_start_epoch
+        concat_on = s.fake_concat == "pool" and epoch >= s.fake_concat_start_epoch
+        d_train = not self.engine.d_bn_eval
+
+        step_keys = jax.random.split(k_steps, max(steps, 1))
+        epoch_metrics = []
+        n_contam_total = 0
+        n_filtered_total = 0
+        for i in range(steps):
+            batch = self.dataset.gather(idx[i])
+            src = jnp.take(self.dataset.source_id, idx[i], axis=0)
+            self.state, metrics = self.step_fn(
+                self.state, batch, src, step_keys[i], lr_g, lr_d,
+                jnp.asarray(mask_on or recycle_on),
+                jnp.asarray(concat_on),
+                self.pool,
+                d_train=d_train,
+            )
+            self.logger.log_step(epoch, t.epochs, i, steps, metrics)
+            if mask_on:
+                n_contam_total += int(metrics["n_contam"])
+                n_filtered_total += int(metrics["n_filtered_contam"])
+            epoch_metrics.append(metrics)
+
+        if mask_on:
+            self.logger.log_contamination(epoch, n_filtered_total, n_contam_total)
+
+        self.engine.on_epoch_end(epoch)
+        return dict(
+            steps=steps,
+            active=int(jnp.sum(active)),
+            lr_g=lr_g,
+            lr_d=lr_d,
+            filtered_contam=n_filtered_total,
+            total_contam=n_contam_total,
+            last=epoch_metrics[-1] if epoch_metrics else None,
+        )
+
+    def run(self, epochs: Optional[int] = None) -> List[Dict]:
+        self.setup()
+        out = []
+        for epoch in range(epochs or self.cfg.train.epochs):
+            out.append(self.run_epoch(epoch))
+        return out
+
+    # ------------------------------------------------------------- sampling
+    def sample(self, n: Optional[int] = None) -> np.ndarray:
+        """Fixed-noise generator output (`#%basic.py:301-304`)."""
+        z = self.fixed_noise if n is None else self.fixed_noise[:n]
+        imgs = self.gen.apply(
+            {"params": self.state.g_params, "batch_stats": self.state.g_stats},
+            z, train=False,
+        )
+        return np.asarray(imgs.astype(jnp.float32))

@@ -1,0 +1,248 @@
+"""Jitted GAN train steps (components C10, C11, C19, C20).
+
+One fused step = [optional in-step strain] + D update + G update, all on
+device.  Faithful to the reference's update algebra:
+
+* D-first ordering (`#%basic.py:237-288`): D sees real then fake (two BN stat
+  updates), D's Adam step applies, THEN the G loss re-scores the same fakes
+  through the *updated* D.
+* G-first ordering (`#8.py:118-132`, MNIST baselines): G updates first; the D
+  step reuses the fakes from the pre-update G.
+* Per-batch quantile mask (`# 상위 10%...X.py:280-318`): a no-grad scoring
+  forward (train mode — torch updates BN running stats under no_grad too)
+  masks the bottom ``mask_quantile`` of D scores; real AND fake sides then run
+  at the masked size.  Static-shape translation: per-sample weights drive both
+  the weighted BCE mean and masked BatchNorm — mathematically identical to
+  torch's variable-size batch.
+* In-batch recycle (`# 상위 10% 제거해서 fake image에 concate.py:238-287`):
+  the masked-out reals replace their G-fake slots in the fake batch (same
+  multiset as the reference's cat([fake[:b-k], strained_reals])).
+* Pool concat (`# fake concate.py:604-641`, `# strainer gan + concate.py:
+  601-650`): a pre-staged device-resident outlier pool contributes a full
+  extra fake batch; D_G_z1 is logged over the generated half only and the G
+  step uses only generated fakes.
+
+All losses use logits + `ops.losses.bce_from_logits` (== Sigmoid+BCELoss).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import losses as L
+from ..ops import stats as S
+from .state import GANState, make_optimizer
+
+
+class StepConfig(NamedTuple):
+    d_loss_reduction: str = "sum"  # 'sum' | 'half_mean'
+    g_before_d: bool = False
+    real_label: float = 1.0
+    fake_label: float = 0.0
+    batch_mask: bool = False  # C19
+    mask_quantile: float = 0.1
+    in_batch_recycle: bool = False  # C20a
+    recycle_quantile: float = 0.1
+    pool_concat: bool = False  # C20b/c
+    has_dropout: bool = False
+    flatten: bool = False  # MNIST MLP path
+    beta1: float = 0.5
+    beta2: float = 0.999
+    nz: int = 100
+
+
+def normalize_u8(batch_u8, dtype):
+    x = batch_u8.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+    return x.astype(dtype)
+
+
+def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True):
+    """Build the jitted step.  Returns
+    ``step(state, batch_u8, source_id, key, lr_g, lr_d, mask_on, concat_on,
+    pool_u8) -> (state, metrics)``; ``mask_on``/``concat_on`` are traced bools
+    implementing the reference's epoch gates without recompilation.
+    """
+    tx = make_optimizer(scfg.beta1, scfg.beta2)
+    cdtype = gen.compute_dtype
+
+    def d_apply(d_params, d_stats, x, weights, train, drop_key):
+        variables = {"params": d_params, "batch_stats": d_stats}
+        rngs = {"dropout": drop_key} if scfg.has_dropout else None
+        out, mut = disc.apply(
+            variables, x, train=train, sample_weights=weights,
+            mutable=["batch_stats"], rngs=rngs,
+        )
+        return out, mut.get("batch_stats", d_stats)
+
+    def g_apply(g_params, g_stats, z, weights):
+        variables = {"params": g_params, "batch_stats": g_stats}
+        out, mut = gen.apply(
+            variables, z, train=True, sample_weights=weights,
+            mutable=["batch_stats"],
+        )
+        return out, mut.get("batch_stats", g_stats)
+
+    def adam_step(params, opt_state, grads, lr):
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = jax.tree.map(
+            lambda p, u: p - lr * u.astype(p.dtype), params, updates
+        )
+        return new_params, new_opt
+
+    def step(state: GANState, batch_u8, source_id, key, lr_g, lr_d,
+             mask_on=False, concat_on=False, pool_u8=None, d_train=True):
+        b = batch_u8.shape[0]
+        k_noise, k_score_drop, k_d_drop, k_g_drop, k_pool = jax.random.split(key, 5)
+        x = normalize_u8(batch_u8, cdtype)
+        if scfg.flatten:
+            x = x.reshape(b, -1)
+
+        real_t = scfg.real_label
+        fake_t = scfg.fake_label
+
+        # ------------------------------------------------------ in-step strain
+        d_stats = state.d_stats
+        keep = jnp.ones((b,), bool)
+        if scfg.batch_mask or scfg.in_batch_recycle:
+            q = scfg.mask_quantile if scfg.batch_mask else scfg.recycle_quantile
+            logits_s, scored_stats = d_apply(
+                state.d_params, d_stats, x, None, d_train, k_score_drop
+            )
+            probs_s = jax.nn.sigmoid(logits_s)
+            thr = S.quantile(probs_s, q)
+            keep_scored = probs_s >= thr  # `# 상위 10%...X.py:284`
+            keep = jnp.where(mask_on, keep_scored, jnp.ones((b,), bool))
+            # torch updates BN running stats during the no-grad scoring pass
+            d_stats = jax.tree.map(
+                lambda new, old: jnp.where(mask_on, new, old), scored_stats,
+                state.d_stats,
+            )
+        w = keep.astype(jnp.float32)
+        masked_any = scfg.batch_mask or scfg.in_batch_recycle
+        w_real = w if masked_any else None
+        # C19 masks the fake side too (noise of masked size); recycle keeps b.
+        w_fake = w if scfg.batch_mask else None
+
+        z = jax.random.normal(k_noise, (b, scfg.nz), jnp.float32)
+
+        # ----------------------------------------------------------- G forward
+        fake, g_stats_new = g_apply(state.g_params, state.g_stats, z, w_fake)
+
+        def build_fake_batch(fake_imgs):
+            """D's fake-side batch + its weights + generated-slot mask."""
+            if scfg.in_batch_recycle:
+                use_real = jnp.logical_and(jnp.logical_not(keep), mask_on)
+                um = use_real.reshape((b,) + (1,) * (x.ndim - 1))
+                combined = jnp.where(um, x.astype(fake_imgs.dtype), fake_imgs)
+                return combined, None, jnp.logical_not(use_real)
+            if scfg.pool_concat:
+                idx = jax.random.permutation(k_pool, pool_u8.shape[0])[:b]
+                pool_x = normalize_u8(jnp.take(pool_u8, idx, axis=0), cdtype)
+                if scfg.flatten:
+                    pool_x = pool_x.reshape(b, -1)
+                combined = jnp.concatenate([fake_imgs, pool_x], axis=0)
+                # before the gate epoch the pool contributes nothing: weight 0
+                pw = jnp.concatenate(
+                    [jnp.ones((b,)), jnp.where(concat_on, 1.0, 0.0) * jnp.ones((b,))]
+                )
+                gen_slot = jnp.concatenate(
+                    [jnp.ones((b,), bool), jnp.zeros((b,), bool)]
+                )
+                return combined, pw, gen_slot
+            return fake_imgs, w_fake, jnp.ones((b,), bool)
+
+        # ------------------------------------------------------------- D update
+        def d_loss_fn(d_params, fake_detached):
+            stats = d_stats
+            out_r, stats = d_apply(d_params, stats, x, w_real, d_train, k_d_drop)
+            per_real = L.bce_from_logits(out_r, real_t)
+            err_real = L.weighted_mean(per_real, w_real)
+
+            fake_b, fw, gen_slot = build_fake_batch(fake_detached)
+            out_f, stats = d_apply(d_params, stats, fake_b, fw, d_train, k_d_drop)
+            per_fake = L.bce_from_logits(out_f, fake_t)
+            err_fake = L.weighted_mean(per_fake, fw)
+
+            errD = L.d_loss(per_real, per_fake, scfg.d_loss_reduction, w_real, fw)
+            p_r = jax.nn.sigmoid(out_r)
+            p_f = jax.nn.sigmoid(out_f)
+            d_x = L.weighted_mean(p_r, w_real)
+            d_g_z1 = (
+                L.weighted_mean(p_f, gen_slot.astype(jnp.float32))
+                if scfg.pool_concat
+                else L.weighted_mean(p_f, fw)
+            )
+            aux = dict(
+                stats=stats, errD=errD, err_real=err_real, err_fake=err_fake,
+                D_x=d_x, D_G_z1=d_g_z1, real_loss_per_sample=per_real,
+            )
+            return errD, aux
+
+        def g_loss_fn(g_params, d_params_now, d_stats_now):
+            fake2, _ = g_apply(g_params, state.g_stats, z, w_fake)
+            fake_b, fw, _ = build_fake_batch(fake2)
+            if scfg.pool_concat:
+                fake_b, fw = fake2, w_fake  # G trains on generated fakes only
+            out, stats = d_apply(d_params_now, d_stats_now, fake_b, fw, d_train, k_g_drop)
+            per = L.bce_from_logits(out, real_t)
+            errG = L.weighted_mean(per, fw)
+            d_g_z2 = L.weighted_mean(jax.nn.sigmoid(out), fw)
+            return errG, dict(stats=stats, D_G_z2=d_g_z2)
+
+        if not scfg.g_before_d:
+            fake_sg = jax.lax.stop_gradient(fake)
+            (errD_val, d_aux), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(state.d_params, fake_sg)
+            d_params, d_opt = adam_step(state.d_params, state.d_opt, d_grads, lr_d)
+            d_stats_after = d_aux["stats"]
+
+            (errG_val, g_aux), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state.g_params, d_params, d_stats_after)
+            g_params, g_opt = adam_step(state.g_params, state.g_opt, g_grads, lr_g)
+            d_stats_final = g_aux["stats"]
+        else:
+            # `#8.py:118-132`: G first (through current D), then D on the same
+            # pre-update-G fakes.
+            (errG_val, g_aux), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state.g_params, state.d_params, d_stats)
+            g_params, g_opt = adam_step(state.g_params, state.g_opt, g_grads, lr_g)
+
+            fake_sg = jax.lax.stop_gradient(fake)
+            (errD_val, d_aux), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(state.d_params, fake_sg)
+            d_params, d_opt = adam_step(state.d_params, state.d_opt, d_grads, lr_d)
+            d_stats_final = d_aux["stats"]
+
+        # ----------------------------------------------------- ground-truth acct
+        contam = source_id != 0
+        n_contam = jnp.sum(contam)
+        n_filtered_contam = jnp.where(
+            mask_on, jnp.sum(jnp.logical_and(contam, jnp.logical_not(keep))), 0
+        )
+
+        new_state = GANState(
+            g_params=g_params, g_stats=g_stats_new, g_opt=g_opt,
+            d_params=d_params, d_stats=d_stats_final, d_opt=d_opt,
+            step=state.step + 1,
+        )
+        metrics = dict(
+            errD=errD_val, errG=errG_val,
+            errD_real=d_aux["err_real"], errD_fake=d_aux["err_fake"],
+            D_x=d_aux["D_x"], D_G_z1=d_aux["D_G_z1"], D_G_z2=g_aux["D_G_z2"],
+            real_loss_per_sample=d_aux["real_loss_per_sample"],
+            keep_mask=keep,
+            n_contam=n_contam, n_filtered_contam=n_filtered_contam,
+        )
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums,
+                   static_argnames=("d_train",))
