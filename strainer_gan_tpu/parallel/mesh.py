@@ -1,0 +1,74 @@
+"""Device mesh + data-parallel sharding (component C27 — new capability).
+
+The reference has no working multi-device path (dead ``nn.DataParallel``
+scaffolding behind ``ngpu=1``, `#%basic.py:143-144`).  Here data parallelism
+is first-class and idiomatic JAX: one global ``Mesh`` with a ``dp`` axis,
+``NamedSharding`` annotations on the jitted train step, and XLA GSPMD
+inserting the gradient all-reduce over ICI.  The same wrapper shards the
+full-dataset strain scoring pass over the batch axis; masks stay sharded in
+HBM (BASELINE.json: strain decisions never leave the device).
+
+Largest reference model is a ~3.5M-param DCGAN, so no tensor/pipeline
+parallelism is required for capability parity (SURVEY §2.4); the mesh helpers
+accept extra axes for forward-compatibility.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_name: str = "dp",
+    devices: Optional[Sequence] = None,
+    backend: Optional[str] = None,
+) -> Mesh:
+    if devices is None:
+        devices = jax.devices(backend) if backend else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def dp_shardings(mesh: Mesh, axis_name: str = "dp"):
+    """(in_shardings, out_shardings) for ``train.steps.make_train_step``'s
+    raw step signature:
+    (state, batch_u8, source_id, key, lr_g, lr_d, mask_on, concat_on, pool).
+
+    State and pool are replicated; the batch and per-sample outputs are
+    sharded along ``dp``.  XLA inserts psum for the grads automatically.
+    """
+    rep = replicated(mesh)
+    bat = batch_sharded(mesh, axis_name)
+    in_shardings = (rep, bat, bat, rep, rep, rep, rep, rep, rep)
+    # outputs: (state, metrics-dict); per-sample metrics end up sharded.
+    out_shardings = (
+        rep,
+        dict(
+            errD=rep, errG=rep, errD_real=rep, errD_fake=rep,
+            D_x=rep, D_G_z1=rep, D_G_z2=rep,
+            real_loss_per_sample=bat, keep_mask=bat,
+            n_contam=rep, n_filtered_contam=rep,
+        ),
+    )
+    return in_shardings, out_shardings
+
+
+def put_replicated(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def put_batch_sharded(x, mesh: Mesh, axis_name: str = "dp"):
+    return jax.device_put(x, batch_sharded(mesh, axis_name))

@@ -60,7 +60,7 @@ def normalize_u8(batch_u8, dtype):
     return x.astype(dtype)
 
 
-def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True):
+def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True, mesh=None):
     """Build the jitted step.  Returns
     ``step(state, batch_u8, source_id, key, lr_g, lr_d, mask_on, concat_on,
     pool_u8) -> (state, metrics)``; ``mask_on``/``concat_on`` are traced bools
@@ -244,5 +244,13 @@ def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True):
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
+    if mesh is not None:
+        from ..parallel.mesh import dp_shardings
+
+        in_sh, out_sh = dp_shardings(mesh)
+        return jax.jit(
+            step, donate_argnums=donate_argnums, static_argnames=("d_train",),
+            in_shardings=in_sh, out_shardings=out_sh,
+        )
     return jax.jit(step, donate_argnums=donate_argnums,
                    static_argnames=("d_train",))
