@@ -22,13 +22,15 @@ _CLAMP = 100.0  # torch BCELoss clamps log-terms at -100
 def bce_from_logits(logits: jnp.ndarray, target: jnp.ndarray | float) -> jnp.ndarray:
     """Per-element BCE(sigmoid(logits), target) with torch's -100 clamp.
 
-    log(sigmoid(x)) = -softplus(-x);  log(1-sigmoid(x)) = -softplus(x).
+    Deliberately computed the torch way — materialize p = sigmoid(x) in f32,
+    then take logs — rather than the stabler softplus identities: the
+    reference's models end in Sigmoid and feed ``nn.BCELoss``, so its loss
+    values (and every loss-ordering strain decision) carry f32 sigmoid
+    rounding.  Same clamp, same rounding, same gradient pathology at extreme
+    logits == same filtering decisions.
     """
-    logits = logits.astype(jnp.float32)
-    log_p = -jnp.minimum(jax.nn.softplus(-logits), _CLAMP)
-    log_1mp = -jnp.minimum(jax.nn.softplus(logits), _CLAMP)
-    t = jnp.asarray(target, jnp.float32)
-    return -(t * log_p + (1.0 - t) * log_1mp)
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    return bce_from_probs(probs, target)
 
 
 def bce_from_probs(probs: jnp.ndarray, target: jnp.ndarray | float) -> jnp.ndarray:

@@ -109,9 +109,21 @@ def histogram_density(x: jnp.ndarray, bins: int = 100):
     edges = jnp.linspace(lo, hi, bins + 1)
     width = (hi - lo) / bins
     idx = jnp.clip(((x - lo) / width).astype(jnp.int32), 0, bins - 1)
-    # numpy puts x == hi into the last bin (idx already clipped there)
+    # numpy's uniform-bin fast path corrects the float-division index against
+    # the actual edge values so that edges[i] <= x < edges[i+1] holds exactly
+    # (np.lib._histograms_impl); replicate to keep borderline samples in the
+    # same bins as the host oracle.
+    idx = idx - (x < edges[idx]).astype(jnp.int32)
+    upper = edges[jnp.minimum(idx + 1, bins)]
+    idx = idx + jnp.logical_and(x >= upper, idx < bins - 1).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, bins - 1)
     counts = jnp.zeros((bins,), x.dtype).at[idx].add(1.0)
-    density = counts / (jnp.sum(counts) * width)
+    # numpy divides by the per-bin edge difference, not the uniform width;
+    # the per-bin last-ulp differences break |density-0.01| ties the same way
+    # the host oracle does (exact ties are still resolved by float64-vs-32
+    # noise and can pick a different bin — a documented ~1e-3 mask-agreement
+    # effect inherent to the reference's elbow formula).
+    density = counts / (jnp.sum(counts) * jnp.diff(edges))
     return density, edges
 
 
