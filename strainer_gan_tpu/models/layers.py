@@ -34,29 +34,38 @@ def dcgan_bn_scale_init(key, shape, dtype=jnp.float32):
     return 1.0 + jax.random.normal(key, shape, dtype) * 0.02
 
 
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
 class Conv2dTorch(nn.Module):
-    """NHWC conv matching ``nn.Conv2d(features_in, features, k, stride, pad)``."""
+    """NHWC conv matching ``nn.Conv2d(features_in, features, k, stride, pad)``.
+
+    ``kernel_size``/``padding`` accept ints or (h, w) pairs (InceptionV3's
+    1x7/7x1 factorized convs need the asymmetric forms)."""
 
     features: int
-    kernel_size: int = 4
+    kernel_size: Any = 4
     stride: int = 2
-    padding: int = 1
+    padding: Any = 1
     use_bias: bool = False
+    kernel_init: Any = dcgan_conv_init
     compute_dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        k = self.kernel_size
+        kh, kw = _pair(self.kernel_size)
+        ph, pw = _pair(self.padding)
         in_ch = x.shape[-1]
         kernel = self.param(
-            "kernel", dcgan_conv_init, (k, k, in_ch, self.features), self.param_dtype
+            "kernel", self.kernel_init, (kh, kw, in_ch, self.features), self.param_dtype
         )
         y = jax.lax.conv_general_dilated(
             x.astype(self.compute_dtype),
             kernel.astype(self.compute_dtype),
             window_strides=(self.stride, self.stride),
-            padding=[(self.padding, self.padding)] * 2,
+            padding=[(ph, ph), (pw, pw)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:

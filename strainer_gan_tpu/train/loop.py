@@ -72,6 +72,19 @@ class Trainer:
         self.key = jax.random.PRNGKey(cfg.train.seed)
         self.key, k_init = jax.random.split(self.key)
         self.state = create_state(cfg, self.gen, self.disc, k_init)
+        needs_features = (
+            cfg.strain.method.startswith("zscore")
+            or cfg.strain.fake_concat == "pool"
+            or (cfg.strain.method == "loss_percentile" and cfg.strain.prefilter)
+        )
+        if feature_fn is None and needs_features:
+            from ..models.features import build_feature_fn
+
+            feature_fn = build_feature_fn(
+                cfg.strain.feature_extractor, channels=cfg.model.nc,
+                flatten_input_hw=(cfg.data.image_size, cfg.data.image_size)
+                if cfg.data.flatten else None,
+            )
         self.engine = StrainerEngine(
             cfg, self.disc, self.dataset, feature_fn=feature_fn,
             score_batch=64,
