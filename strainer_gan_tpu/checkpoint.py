@@ -1,0 +1,80 @@
+"""Checkpoint/resume (component C26 — new capability, absent in reference).
+
+The reference never saves models (SURVEY §5: no torch.save anywhere); this is
+a required subsystem for production use.  Orbax persists the full GANState
+(both nets' params, BN stats, Adam states), the strainer's masks, the PRNG
+key, and the config JSON — enough to resume mid-run with identical behavior.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ExperimentConfig
+from .train.state import GANState
+
+
+def save_checkpoint(path: str, trainer, epoch: int) -> str:
+    """Save trainer state at an epoch boundary; returns the directory."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = dict(
+            state=trainer.state,
+            active=trainer.engine.active,
+            base_active=trainer.engine.base_active,
+            key=trainer.key,
+            epoch=jnp.asarray(epoch),
+        )
+        if trainer.pool is not None:
+            payload["pool"] = trainer.pool
+        ckptr.save(os.path.join(path, f"epoch_{epoch}"), payload, force=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        f.write(trainer.cfg.to_json())
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(dict(epoch=epoch, d_bn_eval=trainer.engine.d_bn_eval), f)
+    return path
+
+
+def restore_checkpoint(path: str, trainer, epoch: Optional[int] = None) -> int:
+    """Restore into an existing trainer (built from the same config);
+    returns the epoch to resume FROM (i.e. the next epoch index)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if epoch is None:
+        epochs = [
+            int(d.split("_", 1)[1])
+            for d in os.listdir(path)
+            if d.startswith("epoch_")
+        ]
+        epoch = max(epochs)
+    with ocp.StandardCheckpointer() as ckptr:
+        template = dict(
+            state=trainer.state,
+            active=trainer.engine.active,
+            base_active=trainer.engine.base_active,
+            key=trainer.key,
+            epoch=jnp.asarray(epoch),
+        )
+        if trainer.pool is not None:
+            template["pool"] = trainer.pool
+        payload = ckptr.restore(os.path.join(path, f"epoch_{epoch}"), template)
+    trainer.state = payload["state"]
+    trainer.engine.active = payload["active"]
+    trainer.engine.base_active = payload["base_active"]
+    trainer.key = payload["key"]
+    if "pool" in payload and payload["pool"] is not None:
+        trainer.pool = payload["pool"]
+    meta_p = os.path.join(path, "meta.json")
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            trainer.engine.d_bn_eval = json.load(f).get("d_bn_eval", False)
+    return epoch + 1

@@ -1,0 +1,107 @@
+"""CLI entry point: run any preset (or a config JSON) end-to-end.
+
+The reference's "CLI" was ``python <script>.py`` per experiment; here one
+binary covers the whole family:
+
+    python -m strainer_gan_tpu.cli --preset final --epochs 2
+    python -m strainer_gan_tpu.cli --config my_experiment.json --out runs/x
+    python -m strainer_gan_tpu.cli --list
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="strainer_gan_tpu runner")
+    ap.add_argument("--preset", default="basic")
+    ap.add_argument("--config", help="path to a config JSON (overrides --preset)")
+    ap.add_argument("--list", action="store_true", help="list presets and exit")
+    ap.add_argument("--epochs", type=int, help="override epoch count")
+    ap.add_argument("--batch-size", type=int)
+    ap.add_argument("--max-synth", type=int, default=None,
+                    help="cap synthetic dataset size (smoke runs)")
+    ap.add_argument("--out", default=None, help="output dir (samples, ckpts, metrics)")
+    ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    ap.add_argument("--eval", action="store_true", help="run the eval suite at the end")
+    ap.add_argument("--eval-samples", type=int, default=500)
+    args = ap.parse_args(argv)
+
+    from .config import PRESETS, ExperimentConfig, get_preset
+
+    if args.list:
+        for name, cfg in sorted(PRESETS.items()):
+            print(f"{name:24s} arch={cfg.model.arch:8s} strain={cfg.strain.method}")
+        return 0
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = ExperimentConfig.from_json(f.read())
+    else:
+        cfg = get_preset(args.preset)
+    if args.epochs is not None:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, epochs=args.epochs))
+    if args.batch_size is not None:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=args.batch_size))
+
+    from .train.loop import Trainer
+    from .obs.images import save_image_grid
+
+    t0 = time.time()
+    trainer = Trainer(cfg, max_synth=args.max_synth)
+    print(f"[strainer] {cfg.name}: dataset n={trainer.dataset.n}, "
+          f"params={trainer.state.params_count():,}", flush=True)
+
+    start_epoch = 0
+    if args.resume:
+        from .checkpoint import restore_checkpoint
+
+        trainer.setup()
+        start_epoch = restore_checkpoint(args.resume, trainer)
+        print(f"[strainer] resumed from epoch {start_epoch - 1}")
+    else:
+        trainer.setup()
+
+    epoch_infos = []
+    for epoch in range(start_epoch, cfg.train.epochs):
+        info = trainer.run_epoch(epoch)
+        epoch_infos.append(info)
+        if args.out and args.checkpoint_every and (epoch + 1) % args.checkpoint_every == 0:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(os.path.join(args.out, "ckpt"), trainer, epoch)
+
+    results = dict(
+        name=cfg.name,
+        wall_s=round(time.time() - t0, 2),
+        epochs=len(epoch_infos),
+        summary=trainer.logger.summary(),
+    )
+    if args.eval:
+        from .eval.suite import evaluate_run
+
+        results["eval"] = evaluate_run(
+            cfg, trainer.gen, trainer.state, trainer.dataset,
+            n_samples=args.eval_samples,
+        )
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        imgs = trainer.sample(64)
+        if imgs.ndim == 2:
+            s = cfg.data.image_size
+            imgs = imgs.reshape(-1, s, s, cfg.model.nc)
+        save_image_grid(imgs, os.path.join(args.out, "samples.png"))
+        with open(os.path.join(args.out, "metrics.json"), "w") as f:
+            json.dump(results, f, indent=2)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

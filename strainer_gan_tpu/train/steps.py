@@ -140,7 +140,11 @@ def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True, mesh=None)
                 combined = jnp.where(um, x.astype(fake_imgs.dtype), fake_imgs)
                 return combined, None, jnp.logical_not(use_real)
             if scfg.pool_concat:
-                idx = jax.random.permutation(k_pool, pool_u8.shape[0])[:b]
+                pool_n = pool_u8.shape[0]
+                perm = jax.random.permutation(k_pool, pool_n)
+                # wrap around if the pool is smaller than the batch (the
+                # reference's pool DataLoader would just starve; we resample)
+                idx = perm[jnp.arange(b) % pool_n]
                 pool_x = normalize_u8(jnp.take(pool_u8, idx, axis=0), cdtype)
                 if scfg.flatten:
                     pool_x = pool_x.reshape(b, -1)

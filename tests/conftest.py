@@ -21,8 +21,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_compilation_cache_dir", "/tmp/strainer_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: no persistent compilation cache — this machine shares /tmp cache
+# entries compiled for a different host CPU (AOT feature mismatch warnings,
+# potential SIGILL).
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

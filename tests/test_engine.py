@@ -1,0 +1,102 @@
+"""StrainerEngine schedule semantics (SURVEY §2 strain flows)."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from strainer_gan_tpu.config import get_preset
+from strainer_gan_tpu.parity import oracle
+from strainer_gan_tpu.train.loop import Trainer
+
+
+def tiny(cfg, batch=8, epochs=5, **strain_kw):
+    data = dataclasses.replace(cfg.data, batch_size=batch, image_size=64)
+    strain = dataclasses.replace(cfg.strain, **strain_kw)
+    train = dataclasses.replace(cfg.train, epochs=epochs, log_every=0)
+    return cfg.replace(data=data, strain=strain, train=train)
+
+
+@pytest.fixture(scope="module")
+def fake_feature_fn():
+    """Deterministic cheap embedding standing in for resnet18 (keeps CPU test
+    time sane); contaminated sources still separate in this space."""
+    key = jax.random.PRNGKey(99)
+
+    def f(x):
+        flat = x.reshape(x.shape[0], -1)
+        proj = jax.random.normal(key, (flat.shape[1], 32)) / flat.shape[1] ** 0.5
+        return flat @ proj
+
+    return f
+
+
+def test_zscore_once_at_epoch3(fake_feature_fn):
+    cfg = tiny(get_preset("zscore"), epochs=5, start_epoch=3)
+    tr = Trainer(cfg, feature_fn=fake_feature_fn, max_synth=40)
+    tr.run()
+    masks = [m.copy() for m in tr.mask_history]
+    assert masks[0].all() and masks[1].all() and masks[2].all()
+    # epoch 3: strained once, then frozen (`#z_score.py:309-321`)
+    assert masks[3].sum() < masks[0].sum() or masks[3].sum() == masks[0].sum()
+    np.testing.assert_array_equal(masks[3], masks[4])
+    # mask agrees with the z-score oracle on the engine's own features
+    feats = np.asarray(tr.engine._features_full())
+    want = oracle.zscore_fixed_mask(feats, 5.0, "torch", strict=True)
+    assert oracle.mask_agreement(masks[3], want) == 1.0
+
+
+def test_percentile_refine_respects_prefilter_base(fake_feature_fn):
+    cfg = tiny(get_preset("final"), epochs=4)
+    tr = Trainer(cfg, feature_fn=fake_feature_fn, max_synth=40)
+    tr.run()
+    base = np.asarray(tr.engine.base_active)
+    final_mask = tr.mask_history[-1]
+    # refinement never resurrects prefiltered-out samples (`# final.py:440-448`)
+    assert not final_mask[~base].any()
+    # quirk #1: keep-fraction == 1 - clean_ratio(epoch 3) = 0.2 of the base
+    kept = final_mask.sum() / max(base.sum(), 1)
+    assert kept <= 0.35
+
+
+def test_gmm_strain_resets_each_epoch(fake_feature_fn):
+    cfg = tiny(get_preset("loss_gmm"), epochs=2)
+    tr = Trainer(cfg, max_synth=40)
+    tr.run()
+    # after epoch end the active mask resets to full (`#clean...py:414-415`)
+    assert np.asarray(tr.engine.active).all()
+    # scoring put D into eval mode and it stays there (quirk §2.4 item 4)
+    assert tr.engine.d_bn_eval
+
+
+def test_autoencoder_strain_trains_and_masks():
+    cfg = tiny(get_preset("autoencoder"), epochs=5, ae_train_epochs=1)
+    tr = Trainer(cfg, max_synth=40)
+    tr.run()
+    assert tr.engine.ae_params is not None
+    errors = None
+    # AE mask recomputed from the FULL dataset each epoch
+    m3, m4 = tr.mask_history[3], tr.mask_history[4]
+    assert m3.sum() > 0 and m4.sum() > 0
+
+
+def test_fake_pool_is_built_from_outliers(fake_feature_fn):
+    cfg = tiny(get_preset("fake_concat"), epochs=1)
+    tr = Trainer(cfg, feature_fn=fake_feature_fn, max_synth=40)
+    tr.setup()
+    assert tr.pool is not None
+    assert tr.pool.shape[0] == max(int(tr.dataset.n * 0.1), 1)
+
+
+def test_ensemble_ratio_schedule(fake_feature_fn):
+    cfg = tiny(get_preset("loss_ensemble"), epochs=4)
+    tr = Trainer(cfg, max_synth=40)
+    tr.run()
+    m3 = tr.mask_history[3]
+    # the epoch-3 mask is an order-truncation: all kept indices precede the
+    # first dropped-but-eligible index pattern is hard to assert directly;
+    # check the ratio bound instead (ratio(3) = 0.9)
+    losses = np.asarray(tr.engine._losses(tr.state))
+    want_mask, _ = oracle.ensemble_mask(losses, seed=0)
+    assert m3.sum() <= want_mask.sum() + max(1, int(0.15 * len(m3)))

@@ -1,0 +1,92 @@
+"""Data-parallel sharding correctness on the virtual 8-device CPU mesh
+(component C27; SURVEY §4 "multi-device tests on CPU")."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from strainer_gan_tpu.config import get_preset
+from strainer_gan_tpu.models import build_models
+from strainer_gan_tpu.parallel.mesh import (
+    make_mesh,
+    put_batch_sharded,
+    put_replicated,
+)
+from strainer_gan_tpu.train.loop import step_config_from
+from strainer_gan_tpu.train.state import create_state
+from strainer_gan_tpu.train.steps import make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_preset("basic")
+    gen, disc = build_models(cfg.model)
+    state = create_state(cfg, gen, disc, jax.random.PRNGKey(0))
+    scfg = step_config_from(cfg)
+    return cfg, gen, disc, state, scfg
+
+
+def _run(step, state, batch, src, key):
+    return step(
+        state, batch, src, key, jnp.float32(2e-4), jnp.float32(2e-4),
+        jnp.asarray(False), jnp.asarray(False), None,
+    )
+
+
+def test_dp_step_matches_single_device(setup):
+    cfg, gen, disc, state, scfg = setup
+    assert len(jax.devices("cpu")) >= 8
+    mesh = make_mesh(8, devices=jax.devices("cpu")[:8])
+
+    b = 16
+    batch = jax.random.randint(jax.random.PRNGKey(1), (b, 64, 64, 3), 0, 256,
+                               jnp.uint8)
+    src = jnp.zeros((b,), jnp.int32)
+    key = jax.random.PRNGKey(2)
+
+    step1 = make_train_step(gen, disc, scfg, donate=False)
+    s1, m1 = _run(step1, state, batch, src, key)
+
+    stepN = make_train_step(gen, disc, scfg, donate=False, mesh=mesh)
+    state_r = put_replicated(state, mesh)
+    batch_s = put_batch_sharded(batch, mesh)
+    src_s = put_batch_sharded(src, mesh)
+    sN, mN = _run(stepN, state_r, batch_s, src_s, key)
+
+    # bf16 conv partial sums reduce in a different order across shards
+    np.testing.assert_allclose(
+        float(m1["errD"]), float(mN["errD"]), rtol=2e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(m1["errG"]), float(mN["errG"]), rtol=2e-3, atol=1e-4
+    )
+    # parameters after one step agree across the replicated copies
+    l1 = jax.tree.leaves(s1.d_params)[0]
+    lN = jax.tree.leaves(sN.d_params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(lN), atol=1e-3)
+
+
+def test_sharded_strain_scoring_matches(setup):
+    """The per-sample loss scoring pass gives identical scores under dp
+    sharding (strain decisions are device-layout independent)."""
+    cfg, gen, disc, state, scfg = setup
+    from strainer_gan_tpu.ops.losses import bce_from_logits
+
+    mesh = make_mesh(8, devices=jax.devices("cpu")[:8])
+    n = 32
+    data = jax.random.randint(jax.random.PRNGKey(3), (n, 64, 64, 3), 0, 256,
+                              jnp.uint8)
+
+    @jax.jit
+    def score(d_params, d_stats, data_u8):
+        x = data_u8.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+        logits = disc.apply(
+            {"params": d_params, "batch_stats": d_stats}, x, train=False
+        )
+        return bce_from_logits(logits, 1.0)
+
+    s_plain = np.asarray(score(state.d_params, state.d_stats, data))
+    state_r = put_replicated(state, mesh)
+    data_s = put_batch_sharded(data, mesh)
+    s_shard = np.asarray(score(state_r.d_params, state_r.d_stats, data_s))
+    np.testing.assert_allclose(s_plain, s_shard, rtol=2e-4, atol=1e-5)
