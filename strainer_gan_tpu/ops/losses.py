@@ -33,13 +33,37 @@ def bce_from_logits(logits: jnp.ndarray, target: jnp.ndarray | float) -> jnp.nda
     return bce_from_probs(probs, target)
 
 
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def bce_from_probs(probs: jnp.ndarray, target: jnp.ndarray | float) -> jnp.ndarray:
-    """Direct ``nn.BCELoss(reduction='none')`` on probabilities (oracle form)."""
+    """Direct ``nn.BCELoss(reduction='none')`` on probabilities.
+
+    Forward matches torch's clamped-log values.  Backward matches torch's
+    ``binary_cross_entropy_backward``: ``(p - t) / max(p*(1-p), 1e-12)`` —
+    WITHOUT this custom rule the naive chain through ``maximum(log p, -100)``
+    produces ``0 * inf = NaN`` exactly when the discriminator saturates
+    (p == 0 or 1 in f32), which a well-trained D reaches routinely.
+    """
     probs = probs.astype(jnp.float32)
     log_p = jnp.maximum(jnp.log(probs), -_CLAMP)
     log_1mp = jnp.maximum(jnp.log1p(-probs), -_CLAMP)
     t = jnp.asarray(target, jnp.float32)
     return -(t * log_p + (1.0 - t) * log_1mp)
+
+
+def _bce_fwd(probs, target):
+    return bce_from_probs(probs, target), probs.astype(jnp.float32)
+
+
+def _bce_bwd(target, p, g):
+    t = jnp.asarray(target, jnp.float32)
+    denom = jnp.maximum(p * (1.0 - p), 1e-12)  # torch EPSILON clamp
+    return (g * (p - t) / denom,)
+
+
+bce_from_probs.defvjp(_bce_fwd, _bce_bwd)
 
 
 def weighted_mean(per_sample: jnp.ndarray, weights: jnp.ndarray | None) -> jnp.ndarray:

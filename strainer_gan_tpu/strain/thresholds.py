@@ -23,10 +23,17 @@ def _and_valid(mask, valid):
 
 
 def _masked_max_abs_z(features, valid, std_mode):
-    """max-|z| computed over the valid subset only (statistics included)."""
+    """max-|z| computed over the valid subset only (statistics included).
+
+    Zero-variance dimensions contribute z = 0 instead of torch's 0/0 = NaN:
+    std == 0 implies every deviation in that dim is 0, so 0 is the only
+    consistent value (a NaN would silently void the whole mask — torch never
+    hits this because pretrained features always vary; our random-init
+    fallback backbones can have dead dims)."""
     if valid is None:
-        return S.max_abs_zscores(features, std_mode)
-    w = valid.astype(jnp.float32)[:, None]
+        w = jnp.ones((features.shape[0], 1), jnp.float32)
+    else:
+        w = valid.astype(jnp.float32)[:, None]
     n = jnp.maximum(jnp.sum(w), 1.0)
     mean = jnp.sum(features * w, axis=0) / n
     if std_mode == "torch":
@@ -35,7 +42,9 @@ def _masked_max_abs_z(features, valid, std_mode):
     else:
         var = jnp.sum(w * (features - mean) ** 2, axis=0) / n
         eps = 1e-7
-    z = jnp.abs((features - mean) / (jnp.sqrt(var) + eps))
+    std = jnp.sqrt(var) + eps
+    z = jnp.abs(features - mean) / jnp.where(std == 0, 1.0, std)
+    z = jnp.where(std[None, :] == 0, 0.0, z)
     return jnp.max(z, axis=1)
 
 

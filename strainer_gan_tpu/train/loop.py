@@ -102,6 +102,7 @@ class Trainer:
         )
         self.epoch_loss_history: List[np.ndarray] = []
         self.mask_history: List[np.ndarray] = []
+        self.fid_history: List = []
 
     # ------------------------------------------------------------------- run
     def setup(self):
@@ -129,6 +130,12 @@ class Trainer:
         bs = cfg.data.batch_size
         idx = self.dataset.epoch_indices(k_perm, active, bs, cfg.data.drop_last)
         steps = int(idx.shape[0])
+        if steps == 0:
+            self.logger.stream.write(
+                f"[strainer] WARNING epoch {epoch}: 0 full batches "
+                f"({int(jnp.sum(active))} active samples < batch_size {bs}) — "
+                "no training this epoch\n"
+            )
 
         mask_on = s.method == "batch_quantile_mask" and epoch >= s.mask_start_epoch
         recycle_on = s.fake_concat == "in_batch" and epoch >= s.fake_concat_start_epoch
@@ -157,6 +164,33 @@ class Trainer:
 
         if mask_on:
             self.logger.log_contamination(epoch, n_filtered_total, n_contam_total)
+
+        # periodic FID (`# 1,2,8.py:333-359`: every fid_every_epochs vs the
+        # clean-class-only real set, L2-normalized activations variant)
+        ev = cfg.eval
+        if (
+            ev.fid and ev.fid_every_epochs
+            and (epoch + 1) % ev.fid_every_epochs == 0
+        ):
+            from ..eval.suite import evaluate_run
+
+            metrics = evaluate_run(
+                cfg, self.gen, self.state, self.dataset,
+                n_samples=min(ev.fid_n_samples, self.dataset.n),
+            )
+            self.fid_history.append((epoch, metrics.get("fid_real")))
+            self.logger.stream.write(
+                f"Epoch {epoch + 1}: FID = {metrics.get('fid_real')}\n"
+            )
+
+        if self.logger.collect and epoch_metrics:
+            # per-epoch record of per-sample real losses (the reference's
+            # ``epoch_losses`` list, `# 1,2,8.py:300-303`)
+            self.epoch_loss_history.append(
+                np.concatenate(
+                    [np.asarray(m["real_loss_per_sample"]) for m in epoch_metrics]
+                )
+            )
 
         self.engine.on_epoch_end(epoch)
         return dict(

@@ -29,6 +29,8 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # fresh per test: a shared generator would make test data (and therefore
+    # borderline threshold decisions) depend on execution order
     return np.random.default_rng(0)

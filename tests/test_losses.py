@@ -1,5 +1,6 @@
 """BCE parity with torch nn.BCELoss (component C10)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import torch
 
@@ -49,3 +50,20 @@ def test_d_loss_reductions(rng):
     h = float(L.d_loss(r, f, "half_mean"))
     np.testing.assert_allclose(s, float(r.mean() + f.mean()), rtol=1e-6)
     np.testing.assert_allclose(h, float((r.mean() + f.mean()) / 2), rtol=1e-6)
+
+
+def test_bce_gradient_matches_torch_and_is_finite_at_saturation(rng):
+    logits = np.array([-200.0, -5.0, 0.0, 5.0, 200.0], np.float32)
+
+    def loss_fn(x):
+        return jnp.sum(L.bce_from_logits(x, 1.0))
+
+    g = np.asarray(jax.grad(loss_fn)(jnp.asarray(logits)))
+    assert np.isfinite(g).all(), g  # saturated lanes must not NaN
+
+    xt = torch.tensor(logits, requires_grad=True)
+    lt = torch.nn.BCELoss(reduction="sum")(
+        torch.sigmoid(xt), torch.ones(5)
+    )
+    lt.backward()
+    np.testing.assert_allclose(g, xt.grad.numpy(), atol=1e-5)
