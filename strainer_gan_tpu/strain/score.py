@@ -53,13 +53,20 @@ def score_d_losses(
     Replicates `refine_dataset_by_loss`'s scoring loop (`# final.py:343-356`)
     and `evaluate_dataset` (`#clean 분포...py:272-287`; that script's BCE is
     over D's (N,1) output then ``.mean(dim=1)`` — identical per-sample value).
+
+    The forward runs in float32 regardless of the training compute dtype:
+    training rides the MXU in bf16, but filtering *decisions* must carry the
+    reference's f32 rounding (bf16 scoring drifts scores ~1% and flips
+    borderline percentile decisions — measured in
+    tests/test_golden_mask_agreement.py).
     """
+    disc_f32 = disc.clone(compute_dtype=jnp.float32)
 
     def apply_fn(batch_u8):
-        x = normalize_u8(batch_u8, disc.compute_dtype)
+        x = normalize_u8(batch_u8, jnp.float32)
         if flatten:
             x = x.reshape(x.shape[0], -1)
-        logits = disc.apply(
+        logits = disc_f32.apply(
             {"params": d_params, "batch_stats": d_stats}, x, train=False
         )
         return L.bce_from_logits(logits, real_label)
