@@ -50,9 +50,16 @@ class ArrayDataset:
 
 def resize_bilinear_u8(images: np.ndarray, size: int) -> np.ndarray:
     """Bilinear resize matching torchvision Resize semantics closely enough
-    for build-time use (PIL when available, numpy fallback)."""
+    for build-time use.  Fast path: the native C++ staging runtime
+    (multithreaded PIL-compatible triangle filter, strainer_gan_tpu.native);
+    fallback: PIL per image, then numpy."""
     if images.shape[1] == size and images.shape[2] == size:
         return images
+    from .. import native
+
+    out = native.resize_bilinear_u8(images, size)
+    if out is not None:
+        return out
     try:
         from PIL import Image
 

@@ -72,4 +72,9 @@ def build_mixture(cfg: DataConfig, max_synth: Optional[int] = None) -> Mixture:
     else:
         raise ValueError(f"unknown mixer {cfg.mixer!r}")
 
-    return Mixture(images[order], source_id[order], labels[order])
+    from .. import native
+
+    gathered = native.gather_u8(images, order)
+    if gathered is None:
+        gathered = images[order]
+    return Mixture(gathered, source_id[order], labels[order])
