@@ -103,6 +103,8 @@ class Trainer:
         self.epoch_loss_history: List[np.ndarray] = []
         self.mask_history: List[np.ndarray] = []
         self.fid_history: List = []
+        self.img_list: List[np.ndarray] = []  # fixed-noise grids (`#%basic.py:226`)
+        self._iters = 0
 
     # ------------------------------------------------------------------- run
     def setup(self):
@@ -161,6 +163,14 @@ class Trainer:
                 n_contam_total += int(metrics["n_contam"])
                 n_filtered_total += int(metrics["n_filtered_contam"])
             epoch_metrics.append(metrics)
+            # fixed-noise grid every sample_every iters (`#%basic.py:300-304`)
+            if (
+                t.sample_every
+                and self.logger.collect
+                and self._iters % t.sample_every == 0
+            ):
+                self.img_list.append(self.sample())
+            self._iters += 1
 
         if mask_on:
             self.logger.log_contamination(epoch, n_filtered_total, n_contam_total)

@@ -99,3 +99,30 @@ def test_cli_list_and_smoke(tmp_path):
     with open(os.path.join(out, "metrics.json")) as f:
         metrics = json.load(f)
     assert metrics["epochs"] == 1
+
+
+def test_serve_sampler_roundtrip(tmp_path):
+    from strainer_gan_tpu.checkpoint import save_checkpoint
+    from strainer_gan_tpu.serve import Sampler
+
+    cfg = shrink(get_preset("mnist8"), epochs=1)
+    tr = Trainer(cfg, max_synth=600)
+    tr.run()
+    save_checkpoint(str(tmp_path / "ck"), tr, 0)
+    s = Sampler.from_checkpoint(str(tmp_path / "ck"), batch_size=16)
+    imgs = s.sample(20, seed=3)
+    assert imgs.shape == (20, 28, 28, 1) and imgs.dtype == np.uint8
+    # deterministic given the seed
+    np.testing.assert_array_equal(imgs, s.sample(20, seed=3))
+    grid = s.sample_grid(16, nrow=4)
+    assert grid.ndim == 3
+
+
+def test_fixed_noise_img_list():
+    cfg = shrink(get_preset("mnist8"), epochs=1)
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, sample_every=3,
+                                                epochs=1, log_every=0))
+    tr = Trainer(cfg, max_synth=600)
+    tr.run()
+    assert len(tr.img_list) >= 1
+    assert tr.img_list[0].shape[0] == cfg.train.fixed_noise_n
