@@ -41,10 +41,17 @@ def main(argv=None):
         return 0
 
     if args.config:
+        if not os.path.exists(args.config):
+            print(f"error: config file not found: {args.config}", file=sys.stderr)
+            return 2
         with open(args.config) as f:
             cfg = ExperimentConfig.from_json(f.read())
     else:
-        cfg = get_preset(args.preset)
+        try:
+            cfg = get_preset(args.preset)
+        except KeyError as e:
+            print(f"error: {e.args[0]}", file=sys.stderr)
+            return 2
     if args.epochs is not None:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, epochs=args.epochs))
     if args.batch_size is not None:
