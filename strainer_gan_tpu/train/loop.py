@@ -104,6 +104,7 @@ class Trainer:
         self.mask_history: List[np.ndarray] = []
         self.fid_history: List = []
         self.img_list: List[np.ndarray] = []  # fixed-noise grids (`#%basic.py:226`)
+        self.strain_quality: List[Dict] = []  # per-strain precision/recall
         self._iters = 0
 
     # ------------------------------------------------------------------- run
@@ -123,8 +124,24 @@ class Trainer:
         cfg, s, t = self.cfg, self.cfg.strain, self.cfg.train
         self.key, k_strain, k_perm, k_steps = jax.random.split(self.key, 4)
 
+        prev_active = self.engine.active
         active = self.engine.on_epoch_start(epoch, self.state, k_strain)
         self.mask_history.append(np.asarray(active))
+        if active is not prev_active:
+            removed = int(self.dataset.n - int(jnp.sum(active)))
+            self.logger.log_strain(epoch, removed, self.dataset.n - removed)
+            # ground-truth strain quality (the reference's contamination
+            # accounting generalized): of the removed samples, how many were
+            # actually contaminants?
+            contam = self.dataset.source_id != 0
+            n_contam = int(jnp.sum(contam))
+            if removed and n_contam:
+                dropped = jnp.logical_not(active)
+                tp = int(jnp.sum(jnp.logical_and(dropped, contam)))
+                self.strain_quality.append(
+                    dict(epoch=epoch, removed=removed,
+                         precision=tp / removed, recall=tp / n_contam)
+                )
 
         lr_g = lr_at(t.lr_g, epoch, t)
         lr_d = lr_at(t.lr_d, epoch, t)

@@ -100,3 +100,14 @@ def test_ensemble_ratio_schedule(fake_feature_fn):
     losses = np.asarray(tr.engine._losses(tr.state))
     want_mask, _ = oracle.ensemble_mask(losses, seed=0)
     assert m3.sum() <= want_mask.sum() + max(1, int(0.15 * len(m3)))
+
+
+def test_strain_quality_reporting(fake_feature_fn):
+    """Ground-truth precision/recall of the strainer is tracked (the
+    generalized contamination accounting, `# 상위 10%...X.py:335-337`)."""
+    cfg = tiny(get_preset("zscore"), epochs=4, start_epoch=3, z_threshold=2.0)
+    tr = Trainer(cfg, feature_fn=fake_feature_fn, max_synth=40)
+    tr.run()
+    assert tr.strain_quality, "z-score strain at epoch 3 should be recorded"
+    q = tr.strain_quality[-1]
+    assert 0.0 <= q["precision"] <= 1.0 and 0.0 <= q["recall"] <= 1.0
