@@ -99,6 +99,20 @@ def main(argv=None):
         )
     if args.out:
         os.makedirs(args.out, exist_ok=True)
+        from .obs.plots import save_loss_curves, save_score_histogram
+
+        if trainer.logger.G_losses:
+            save_loss_curves(trainer.logger.G_losses, trainer.logger.D_losses,
+                             os.path.join(args.out, "losses.png"))
+        if trainer.engine.last_scores is not None:
+            import numpy as _np
+
+            save_score_histogram(
+                _np.asarray(trainer.engine.last_scores),
+                None if trainer.engine.last_threshold is None
+                else float(trainer.engine.last_threshold),
+                os.path.join(args.out, "strain_scores.png"),
+            )
         imgs = trainer.sample(64)
         if imgs.ndim == 2:
             s = cfg.data.image_size

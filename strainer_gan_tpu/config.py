@@ -60,6 +60,9 @@ class DataConfig:
     flatten: bool = False  # MNIST MLP path reshapes to (N, 784) (`#8.py:117`)
     drop_last: bool = True
     seed: int = 999
+    # adaptive batch rule: batch = min(max(n // divisor, 16), 64)
+    # (`#8.py:43` divisor 10; `Untitled-2.py:60` divisor 100); None = fixed
+    auto_batch_divisor: "Optional[int]" = None
 
 
 # ---------------------------------------------------------------------------
@@ -182,6 +185,8 @@ class TrainConfig:
     log_every: int = 50
     sample_every: int = 500
     fixed_noise_n: int = 64
+    # failure detection (SURVEY §5): verify params are finite at epoch ends
+    check_finite: bool = False
 
 
 @dataclass(frozen=True)
@@ -275,10 +280,11 @@ _MNIST_128_MODEL = ModelConfig(
 )
 
 
-def _mnist_data(batch: int, sources: Tuple[SourceSpec, ...], mixer: str = "concat"):
+def _mnist_data(batch: int, sources: Tuple[SourceSpec, ...], mixer: str = "concat",
+                auto_batch_divisor=None):
     return DataConfig(
         sources=sources, image_size=28, channels=1, batch_size=batch,
-        mixer=mixer, flatten=True,
+        mixer=mixer, flatten=True, auto_batch_divisor=auto_batch_divisor,
     )
 
 
@@ -300,7 +306,8 @@ _register(PRESETS["basic"].replace(name="celeba"))  # `#celeba.py` (prints only)
 
 _register(ExperimentConfig(
     name="mnist8",  # `#8.py` — digit-8-only MLP GAN, G updated before D
-    data=_mnist_data(64, (SourceSpec("mnist", class_filter=(8,)),)),
+    data=_mnist_data(64, (SourceSpec("mnist", class_filter=(8,)),),
+                     auto_batch_divisor=10),
     model=_MNIST_MLP_MODEL,
     train=TrainConfig(epochs=300, lr_g=2e-4, lr_d=2e-4, adam_defaults=True,
                       d_loss_reduction="half_mean", g_before_d=True),
@@ -308,7 +315,8 @@ _register(ExperimentConfig(
 _register(ExperimentConfig(
     name="mnist_8_2",  # `Untitled-2.py` — 90% 8s + 10% 2s, no strain
     data=_mnist_data(64, (SourceSpec("mnist", class_filter=(8,)),
-                          SourceSpec("mnist", class_filter=(2,), class_fraction=0.1))),
+                          SourceSpec("mnist", class_filter=(2,), class_fraction=0.1)),
+                     auto_batch_divisor=100),
     model=_MNIST_MLP_MODEL,
     train=TrainConfig(epochs=300, adam_defaults=True,
                       d_loss_reduction="half_mean", g_before_d=True),

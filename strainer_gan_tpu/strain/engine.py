@@ -68,6 +68,7 @@ class StrainerEngine:
         self.ae = None
         self.ae_params = None
         self.last_threshold = None
+        self.last_scores = None  # max-|z| or per-sample losses of last strain
         self._features = None  # cached features for prefilter-style strainers
 
     # ------------------------------------------------------------------ utils
@@ -90,6 +91,7 @@ class StrainerEngine:
         )
         if self.sc.bn_eval_after_score:
             self.d_bn_eval = True  # SURVEY §2.4 item 4
+        self.last_scores = losses
         return losses
 
     def _zscore_mask(self, valid=None):
@@ -111,6 +113,9 @@ class StrainerEngine:
         else:
             raise AssertionError(sc.method)
         self.last_threshold = thr
+        from . import thresholds as _TH
+
+        self.last_scores = _TH._masked_max_abs_z(feats, valid, sc.z_std_mode)
         return mask
 
     # ------------------------------------------------------------- lifecycle

@@ -67,6 +67,13 @@ class Trainer:
         if dataset is None:
             self.mixture = build_mixture(cfg.data, max_synth=max_synth)
             dataset = DeviceDataset(self.mixture)
+        if cfg.data.auto_batch_divisor:
+            # `#8.py:43`: batch = min(max(n // divisor, 16), 64)
+            bs = min(max(dataset.n // cfg.data.auto_batch_divisor, 16), 64)
+            import dataclasses as _dc
+
+            cfg = cfg.replace(data=_dc.replace(cfg.data, batch_size=bs))
+            self.cfg = cfg
         self.dataset = dataset
         self.gen, self.disc = build_models(cfg.model)
         self.key = jax.random.PRNGKey(cfg.train.seed)
@@ -218,6 +225,15 @@ class Trainer:
                     [np.asarray(m["real_loss_per_sample"]) for m in epoch_metrics]
                 )
             )
+
+        if t.check_finite:
+            from ..utils.trees import finite_check
+
+            if not finite_check((self.state.g_params, self.state.d_params)):
+                raise FloatingPointError(
+                    f"non-finite parameters detected after epoch {epoch} — "
+                    "training diverged (enable smaller lr or f32 compute)"
+                )
 
         self.engine.on_epoch_end(epoch)
         return dict(
