@@ -9,14 +9,10 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, Optional
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
-from .config import ExperimentConfig
-from .train.state import GANState
 
 
 def save_checkpoint(path: str, trainer, epoch: int) -> str:

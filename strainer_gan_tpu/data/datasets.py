@@ -20,7 +20,7 @@ import os
 import pickle
 import struct
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

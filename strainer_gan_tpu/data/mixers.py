@@ -20,11 +20,11 @@ precision/recall against ground truth without host transfers (the
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 
-from ..config import DataConfig, SourceSpec
+from ..config import DataConfig
 from .datasets import ArrayDataset, load_source
 
 

@@ -15,11 +15,10 @@ and stably partitions active-first — equivalent to shuffling the Subset
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .mixers import Mixture
 

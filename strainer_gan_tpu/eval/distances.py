@@ -11,11 +11,10 @@ W1 per dimension via the sorted-sample quantile formulation, which equals
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def mean_feature_distance(f1: jnp.ndarray, f2: jnp.ndarray) -> jnp.ndarray:

@@ -16,7 +16,6 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models.features import build_feature_fn
 from ..models.inception import resize_bilinear_299

@@ -91,4 +91,16 @@ def evaluate_run(
             reals, fakes, batch_size=min(50, n_samples),
             normalize=ev.fid_normalize_activations,
         )
+        # contaminant-vs-generated FID (`#strainer gan.py:674-680` computes
+        # the suite against both distributions)
+        if len(contam_idx) >= 2:
+            contams = normalize_u8(
+                jnp.take(dataset.images, jnp.asarray(contam_idx), 0), jnp.float32
+            )
+            if cfg.data.flatten and contams.ndim == 2:
+                contams = contams.reshape((-1,) + image_shape)
+            out["fid_contaminant"] = calculate_fid(
+                contams, fakes, batch_size=min(50, len(contam_idx)),
+                normalize=ev.fid_normalize_activations,
+            )
     return out

@@ -15,7 +15,7 @@ TPU-first differences from the torch original:
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -9,7 +9,6 @@ mask parity is weight-independent.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -15,7 +15,7 @@ both sides, so relative FID orderings are weight-consistent.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

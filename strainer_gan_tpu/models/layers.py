@@ -19,7 +19,7 @@ conv/convT weights ~ N(0, 0.02); BN scale ~ N(1, 0.02), bias = 0.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

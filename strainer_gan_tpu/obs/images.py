@@ -6,7 +6,6 @@ Replicates ``vutils.make_grid(fake, padding=2, normalize=True)`` +
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

@@ -14,12 +14,10 @@ syncs more often than the reference printed.
 """
 from __future__ import annotations
 
-import json
 import sys
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
-import jax
 import numpy as np
 
 

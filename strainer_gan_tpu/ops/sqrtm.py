@@ -10,7 +10,6 @@ path: deterministic, differentiable, and without host round-trips.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -11,9 +11,7 @@ encoding.
 """
 from __future__ import annotations
 
-import json
 import os
-from functools import partial
 from typing import Optional
 
 import jax

@@ -22,7 +22,7 @@ full device-resident dataset ("filtering decisions never leave HBM").
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,7 @@ import optax
 
 from ..config import ExperimentConfig
 from ..data.pipeline import DeviceDataset, normalize_u8
-from ..models.autoencoder import ConvAutoEncoder, reconstruction_errors
+from ..models.autoencoder import ConvAutoEncoder
 from ..train.schedules import clean_ratio_at
 from . import score as SC
 from . import thresholds as TH

@@ -14,7 +14,6 @@ equivalent to the reference's subset DataLoader pass.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -11,7 +11,6 @@ the step count) and whatever the logger prints.
 """
 from __future__ import annotations
 
-import time
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -25,7 +24,7 @@ from ..obs.metrics import MetricsLogger
 from ..strain.engine import StrainerEngine
 from ..strain.pool import build_fake_pool
 from .schedules import lr_at
-from .state import GANState, create_state
+from .state import create_state
 from .steps import StepConfig, make_train_step
 
 

@@ -3,7 +3,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-from ..config import StrainConfig, TrainConfig
+from ..config import TrainConfig
 
 
 def clean_ratio_at(epoch: int, schedule: Optional[Tuple[Tuple[int, float], ...]]) -> float:

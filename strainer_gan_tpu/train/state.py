@@ -11,7 +11,7 @@ lr as a traced scalar and scales ``scale_by_adam`` updates itself.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

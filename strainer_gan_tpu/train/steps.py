@@ -26,12 +26,10 @@ All losses use logits + `ops.losses.bce_from_logits` (== Sigmoid+BCELoss).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ..ops import losses as L
 from ..ops import stats as S
