@@ -126,3 +126,27 @@ def test_fixed_noise_img_list():
     tr.run()
     assert len(tr.img_list) >= 1
     assert tr.img_list[0].shape[0] == cfg.train.fixed_noise_n
+
+
+def test_remaining_presets_smoke():
+    """Every preset not covered elsewhere runs an epoch end-to-end."""
+    key = jax.random.PRNGKey(11)
+
+    def feat(x):
+        flat = x.reshape(x.shape[0], -1)
+        proj = jax.random.normal(key, (flat.shape[1], 24))
+        return flat @ proj
+
+    for name in ("zscore_elbow", "zscore_dbscan", "zscore_loss",
+                 "celeba_dog_baseline", "mnist_1_2_8_baseline",
+                 "strainer_concat_fast"):
+        cfg = shrink(get_preset(name), batch=8, epochs=1)
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, auto_batch_divisor=None),
+            eval=dataclasses.replace(cfg.eval, fid=False, feature_distance=False,
+                                     wasserstein=False),
+        )
+        tr = Trainer(cfg, feature_fn=feat, max_synth=40
+                     if cfg.model.arch == "dcgan64" else 900)
+        out = tr.run()
+        assert out, name
