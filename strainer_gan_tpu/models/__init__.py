@@ -9,10 +9,23 @@ from .dcgan import Discriminator64, Generator64  # noqa: F401
 from .mlp_gan import MLPDiscriminator, MLPGenerator  # noqa: F401
 
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+_MODEL_CACHE = {}
 
 
 def build_models(cfg: ModelConfig):
-    """Return (generator, discriminator) linen modules for a config."""
+    """Return (generator, discriminator) linen modules for a config.
+
+    Memoized per config: linen modules are immutable, and sharing instances
+    lets jit caches (train steps, scoring passes) hit across Trainer
+    instances with equal configs instead of recompiling."""
+    if cfg in _MODEL_CACHE:
+        return _MODEL_CACHE[cfg]
+    pair = _build_models_uncached(cfg)
+    _MODEL_CACHE[cfg] = pair
+    return pair
+
+
+def _build_models_uncached(cfg: ModelConfig):
     cd = _DTYPES[cfg.compute_dtype]
     pd = _DTYPES[cfg.param_dtype]
     if cfg.arch == "dcgan64":

@@ -58,19 +58,33 @@ def score_d_losses(
     reference's f32 rounding (bf16 scoring drifts scores ~1% and flips
     borderline percentile decisions — measured in
     tests/test_golden_mask_agreement.py).
+
+    The jitted pass is cached per (disc, batch_size, flatten, real_label) —
+    without this, every epoch's re-strain would rebuild and recompile the
+    scan.
     """
-    disc_f32 = disc.clone(compute_dtype=jnp.float32)
+    key = (id(disc), batch_size, flatten, float(real_label))
+    if key not in _D_SCORE_CACHE:
+        disc_f32 = disc.clone(compute_dtype=jnp.float32)
 
-    def apply_fn(batch_u8):
-        x = normalize_u8(batch_u8, jnp.float32)
-        if flatten:
-            x = x.reshape(x.shape[0], -1)
-        logits = disc_f32.apply(
-            {"params": d_params, "batch_stats": d_stats}, x, train=False
-        )
-        return L.bce_from_logits(logits, real_label)
+        @jax.jit
+        def scorer(d_params, d_stats, images):
+            def apply_fn(batch_u8):
+                x = normalize_u8(batch_u8, jnp.float32)
+                if flatten:
+                    x = x.reshape(x.shape[0], -1)
+                logits = disc_f32.apply(
+                    {"params": d_params, "batch_stats": d_stats}, x, train=False
+                )
+                return L.bce_from_logits(logits, real_label)
 
-    return _scan_batches(apply_fn, dataset.images, batch_size)
+            return _scan_batches(apply_fn, images, batch_size)
+
+        _D_SCORE_CACHE[key] = scorer
+    return _D_SCORE_CACHE[key](d_params, d_stats, dataset.images)
+
+
+_D_SCORE_CACHE = {}
 
 
 def score_features(

@@ -52,6 +52,19 @@ def step_config_from(cfg: ExperimentConfig) -> StepConfig:
     )
 
 
+_STEP_CACHE = {}
+
+
+def _cached_train_step(gen, disc, scfg: StepConfig):
+    """One compiled step per (model pair, step config): build_models memoizes
+    module instances, so equal experiment configs share the jit cache instead
+    of re-tracing/compiling per Trainer."""
+    key = (id(gen), id(disc), scfg)
+    if key not in _STEP_CACHE:
+        _STEP_CACHE[key] = make_train_step(gen, disc, scfg)
+    return _STEP_CACHE[key]
+
+
 class Trainer:
     def __init__(
         self,
@@ -96,7 +109,7 @@ class Trainer:
             score_batch=64,
         )
         self.scfg = step_config_from(cfg)
-        self.step_fn = make_train_step(self.gen, self.disc, self.scfg)
+        self.step_fn = _cached_train_step(self.gen, self.disc, self.scfg)
         style = "mnist" if cfg.model.arch == "mlp" else "dcgan"
         self.logger = logger or MetricsLogger(
             log_every=cfg.train.log_every, style=style
