@@ -28,6 +28,9 @@ def main(argv=None):
                     help="cap synthetic dataset size (smoke runs)")
     ap.add_argument("--out", default=None, help="output dir (samples, ckpts, metrics)")
     ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--save-samples-every", type=int, default=0,
+                    help="save a sample grid PNG every N epochs "
+                         "(the reference's GAN_results/ PNGs)")
     ap.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     ap.add_argument("--eval", action="store_true", help="run the eval suite at the end")
     ap.add_argument("--eval-samples", type=int, default=500)
@@ -83,6 +86,19 @@ def main(argv=None):
             from .checkpoint import save_checkpoint
 
             save_checkpoint(os.path.join(args.out, "ckpt"), trainer, epoch)
+        if (
+            args.out and args.save_samples_every
+            and (epoch + 1) % args.save_samples_every == 0
+        ):
+            # per-epoch sample PNGs (`#8.py:144-147`: every 10 epochs)
+            imgs = trainer.sample(25)
+            if imgs.ndim == 2:
+                s_ = cfg.data.image_size
+                imgs = imgs.reshape(-1, s_, s_, cfg.model.nc)
+            save_image_grid(
+                imgs, os.path.join(args.out, f"samples_epoch{epoch + 1}.png"),
+                nrow=5,
+            )
 
     results = dict(
         name=cfg.name,
