@@ -35,18 +35,23 @@ def epoch_batch_indices(
 ) -> jnp.ndarray:
     """Device-side epoch sampler.
 
-    Permute all N indices, stably sort actives first, reshape the first
+    Permute all N indices, stably sort actives first, take the first
     ``num*batch_size`` into (num, batch_size).  With ``num`` <=
-    floor(n_active/batch_size) every batch contains only active samples and
-    each active sample appears at most once — the exact semantics of
-    ``DataLoader(Subset(...), shuffle=True, drop_last=True)``.
+    floor(n_active/batch_size) (drop_last semantics) every batch contains
+    only active samples, each at most once — exactly
+    ``DataLoader(Subset(...), shuffle=True, drop_last=True)``.  When ``num``
+    is the ceiling (drop_last=False), positions past the active count wrap
+    around to the start of the shuffled actives so the tail batch never
+    touches inactive samples (the static-shape analog of a partial batch).
     """
     n = active.shape[0]
     perm = jax.random.permutation(key, n)
     inactive_first = jnp.logical_not(active[perm])
     order = jnp.argsort(inactive_first, stable=True)
     shuffled = perm[order]
-    return shuffled[: num * batch_size].reshape(num, batch_size)
+    n_active = jnp.maximum(jnp.sum(active), 1)
+    pos = jnp.arange(num * batch_size) % n_active
+    return shuffled[pos].reshape(num, batch_size)
 
 
 class DeviceDataset:

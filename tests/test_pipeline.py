@@ -81,3 +81,18 @@ def test_device_dataset_steps_and_gather():
     batch = ds.gather(idx[0])
     assert batch.shape == (8, 16, 16, 3)
     assert batch.dtype == jnp.uint8
+
+
+def test_epoch_batch_indices_drop_last_false_wraps():
+    # 40 active of 80, batch 16, ceil -> 3 batches of 16 = 48 slots: the tail
+    # wraps into the shuffled actives instead of touching inactive samples
+    n = 80
+    active = np.zeros(n, bool)
+    active[:40] = True
+    idx = epoch_batch_indices(jax.random.PRNGKey(0), jnp.asarray(active),
+                              num=3, batch_size=16)
+    flat = np.asarray(idx).reshape(-1)
+    assert idx.shape == (3, 16)
+    assert active[flat].all()
+    # first 40 slots are distinct actives; the extra 8 repeat from the start
+    assert len(set(flat[:40].tolist())) == 40
