@@ -122,8 +122,11 @@ def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True, mesh=None)
         w = keep.astype(jnp.float32)
         masked_any = scfg.batch_mask or scfg.in_batch_recycle
         w_real = w if masked_any else None
-        # C19 masks the fake side too (noise of masked size); recycle keeps b.
-        w_fake = w if scfg.batch_mask else None
+        # C19 generates noise at the masked size, and in recycle mode G only
+        # produces b - b_fake fakes (`# 상위 10% 제거해서...py:265-266`) — in
+        # both cases G's BN statistics cover only the surviving fake slots,
+        # expressed here as sample weights on the full-shape forward.
+        w_fake = w if masked_any else None
 
         z = jax.random.normal(k_noise, (b, scfg.nz), jnp.float32)
 
