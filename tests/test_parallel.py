@@ -90,3 +90,30 @@ def test_sharded_strain_scoring_matches(setup):
     data_s = put_batch_sharded(data, mesh)
     s_shard = np.asarray(score(state_r.d_params, state_r.d_stats, data_s))
     np.testing.assert_allclose(s_plain, s_shard, rtol=2e-4, atol=1e-5)
+
+
+def test_masked_step_with_mask_off_equals_basic_step(setup):
+    """With the gate off, the C19 step's weight machinery must be an exact
+    no-op: all-ones weights == unweighted means, masked BN == plain BN."""
+    from strainer_gan_tpu.train.steps import StepConfig
+
+    cfg, gen, disc, state, scfg = setup
+    b = 8
+    batch = jax.random.randint(jax.random.PRNGKey(5), (b, 64, 64, 3), 0, 256,
+                               jnp.uint8)
+    src = jnp.zeros((b,), jnp.int32)
+    key = jax.random.PRNGKey(6)
+
+    basic = make_train_step(gen, disc, scfg, donate=False)
+    masked = make_train_step(
+        gen, disc, scfg._replace(batch_mask=True), donate=False
+    )
+    s1, m1 = _run(basic, state, batch, src, key)
+    s2, m2 = _run(masked, state, batch, src, key)  # mask_on=False in _run
+    np.testing.assert_allclose(float(m1["errD"]), float(m2["errD"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m1["errG"]), float(m2["errG"]), rtol=1e-6)
+    l1 = jax.tree.leaves(s1.d_params)[0]
+    l2 = jax.tree.leaves(s2.d_params)[0]
+    # near-zero grads can flip the Adam direction under non-bitwise-equal
+    # float paths; bound the damage to ~1 lr unit per element
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-3)
