@@ -44,15 +44,15 @@ def batch_sharded(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
 
 def dp_shardings(mesh: Mesh, axis_name: str = "dp"):
     """(in_shardings, out_shardings) for ``train.steps.make_train_step``'s
-    raw step signature:
-    (state, batch_u8, source_id, key, lr_g, lr_d, mask_on, concat_on, pool).
+    dynamic step arguments (mask_on at position 6 is static):
+    (state, batch_u8, source_id, key, lr_g, lr_d, concat_on, pool).
 
     State and pool are replicated; the batch and per-sample outputs are
     sharded along ``dp``.  XLA inserts psum for the grads automatically.
     """
     rep = replicated(mesh)
     bat = batch_sharded(mesh, axis_name)
-    in_shardings = (rep, bat, bat, rep, rep, rep, rep, rep, rep)
+    in_shardings = (rep, bat, bat, rep, rep, rep, rep, rep)
     # outputs: (state, metrics-dict); per-sample metrics end up sharded.
     out_shardings = (
         rep,

@@ -189,7 +189,7 @@ class Trainer:
             src = jnp.take(self.dataset.source_id, idx[i], axis=0)
             self.state, metrics = self.step_fn(
                 self.state, batch, src, step_keys[i], lr_g, lr_d,
-                jnp.asarray(mask_on or recycle_on),
+                bool(mask_on or recycle_on),
                 jnp.asarray(concat_on),
                 self.pool,
                 d_train=d_train,

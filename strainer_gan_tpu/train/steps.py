@@ -103,24 +103,26 @@ def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True, mesh=None)
         fake_t = scfg.fake_label
 
         # ------------------------------------------------------ in-step strain
+        # NOTE: mask_on is a *static* bool — when the gate is off, the whole
+        # scoring forward below is dead code that XLA eliminates, so pre-gate
+        # epochs (< mask_start_epoch) run at full unstrained speed.
+        # (Compacting survivors into a 0.9b sub-batch was tried and measured
+        # SLOWER than full-shape weighted lanes on v5e — odd batch sizes pad
+        # back to tile multiples and the gather costs extra; see git history.)
         d_stats = state.d_stats
         keep = jnp.ones((b,), bool)
-        if scfg.batch_mask or scfg.in_batch_recycle:
+        if (scfg.batch_mask or scfg.in_batch_recycle) and mask_on:
             q = scfg.mask_quantile if scfg.batch_mask else scfg.recycle_quantile
             logits_s, scored_stats = d_apply(
                 state.d_params, d_stats, x, None, d_train, k_score_drop
             )
             probs_s = jax.nn.sigmoid(logits_s)
             thr = S.quantile(probs_s, q)
-            keep_scored = probs_s >= thr  # `# 상위 10%...X.py:284`
-            keep = jnp.where(mask_on, keep_scored, jnp.ones((b,), bool))
+            keep = probs_s >= thr  # `# 상위 10%...X.py:284`
             # torch updates BN running stats during the no-grad scoring pass
-            d_stats = jax.tree.map(
-                lambda new, old: jnp.where(mask_on, new, old), scored_stats,
-                state.d_stats,
-            )
+            d_stats = scored_stats
         w = keep.astype(jnp.float32)
-        masked_any = scfg.batch_mask or scfg.in_batch_recycle
+        masked_any = (scfg.batch_mask or scfg.in_batch_recycle) and mask_on
         w_real = w if masked_any else None
         # C19 generates noise at the masked size, and in recycle mode G only
         # produces b - b_fake fakes (`# 상위 10% 제거해서...py:265-266`) — in
@@ -264,13 +266,17 @@ def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True, mesh=None)
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
+    # mask_on is static: the C19 compaction changes tensor shapes, so the
+    # masked and unmasked epochs are two compiled programs (one extra compile
+    # at the gate epoch, like the reference's behavioral switch).
     if mesh is not None:
         from ..parallel.mesh import dp_shardings
 
         in_sh, out_sh = dp_shardings(mesh)
         return jax.jit(
-            step, donate_argnums=donate_argnums, static_argnames=("d_train",),
+            step, donate_argnums=donate_argnums, static_argnums=(6,),
+            static_argnames=("d_train",),
             in_shardings=in_sh, out_shardings=out_sh,
         )
-    return jax.jit(step, donate_argnums=donate_argnums,
+    return jax.jit(step, donate_argnums=donate_argnums, static_argnums=(6,),
                    static_argnames=("d_train",))

@@ -29,7 +29,7 @@ def setup():
 def _run(step, state, batch, src, key):
     return step(
         state, batch, src, key, jnp.float32(2e-4), jnp.float32(2e-4),
-        jnp.asarray(False), jnp.asarray(False), None,
+        False, jnp.asarray(False), None,
     )
 
 
