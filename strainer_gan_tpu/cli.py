@@ -33,6 +33,10 @@ def main(argv=None):
                          "(the reference's GAN_results/ PNGs)")
     ap.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     ap.add_argument("--eval", action="store_true", help="run the eval suite at the end")
+    ap.add_argument("--parity-check", action="store_true",
+                    help="report filter-mask agreement vs the numpy oracle")
+    ap.add_argument("--f32", action="store_true",
+                    help="parity mode: full float32 compute")
     ap.add_argument("--eval-samples", type=int, default=500)
     args = ap.parse_args(argv)
 
@@ -59,6 +63,8 @@ def main(argv=None):
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, epochs=args.epochs))
     if args.batch_size is not None:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=args.batch_size))
+    if args.f32:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, compute_dtype="float32"))
 
     from .train.loop import Trainer
     from .obs.images import save_image_grid
@@ -106,6 +112,10 @@ def main(argv=None):
         epochs=len(epoch_infos),
         summary=trainer.logger.summary(),
     )
+    if args.parity_check:
+        from .parity.agreement import agreement_report
+
+        results["parity"] = agreement_report(trainer, epoch=cfg.train.epochs - 1)
     if args.eval:
         from .eval.suite import evaluate_run
 

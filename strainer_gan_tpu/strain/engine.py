@@ -69,6 +69,7 @@ class StrainerEngine:
         self.ae_params = None
         self.last_threshold = None
         self.last_scores = None  # max-|z| or per-sample losses of last strain
+        self.last_mask = None  # the mask produced by the last strain event
         self._features = None  # cached features for prefilter-style strainers
 
     # ------------------------------------------------------------------ utils
@@ -128,6 +129,7 @@ class StrainerEngine:
         mask = self._zscore_mask()
         self.base_active = mask
         self.active = mask
+        self.last_mask = mask
         return self.active
 
     def outlier_mask(self) -> jnp.ndarray:
@@ -153,6 +155,7 @@ class StrainerEngine:
                 mask = self._zscore_mask()
                 self.base_active = mask
                 self.active = mask
+                self.last_mask = mask
             return self.active
 
         if m == "loss_gmm" and epoch >= sc.start_epoch:
@@ -160,6 +163,7 @@ class StrainerEngine:
             mask, thr = TH.gmm_mask(losses)  # over the FULL set (`:330-339`)
             self.last_threshold = thr
             self.active = mask
+            self.last_mask = mask
             return self.active
 
         if m == "loss_ensemble" and epoch >= sc.start_epoch:
@@ -169,6 +173,7 @@ class StrainerEngine:
             ratio = clean_ratio_at(epoch, sc.clean_ratio_schedule)
             num_keep = (jnp.sum(mask) * ratio).astype(jnp.int32)
             self.active = _truncate_in_order(mask, num_keep)
+            self.last_mask = self.active
             return self.active
 
         if m == "loss_percentile" and epoch >= sc.start_epoch:
@@ -184,6 +189,7 @@ class StrainerEngine:
             )
             self.last_threshold = thr
             self.active = mask
+            self.last_mask = mask
             return self.active
 
         if m == "autoencoder":
@@ -195,6 +201,8 @@ class StrainerEngine:
                 )
                 mask, thr = TH.ae_error_mask(errors, sc.ae_sigma)
                 self.last_threshold = thr
+                self.last_scores = errors
+                self.last_mask = mask
                 self.active = mask  # reset-to-full then strain (`:346-351`)
             return self.active
 

@@ -128,3 +128,27 @@ def test_batch_quantile_mask_agreement(trained):
     thr = S.quantile(probs, 0.1)
     our_keep = np.asarray(probs >= thr)
     assert oracle.mask_agreement(our_keep, ref_keep) >= 0.99
+
+
+def test_agreement_report_api():
+    """parity.agreement.agreement_report: the headline metric as an API."""
+    import dataclasses
+
+    from strainer_gan_tpu.parity.agreement import agreement_report
+
+    cfg = get_preset("final")
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, batch_size=8),
+        train=dataclasses.replace(cfg.train, epochs=4, log_every=0),
+        model=dataclasses.replace(cfg.model, compute_dtype="float32"),
+    )
+    key = jax.random.PRNGKey(3)
+
+    def feat(x):
+        flat = x.reshape(x.shape[0], -1)
+        return flat @ jax.random.normal(key, (flat.shape[1], 16))
+
+    tr = Trainer(cfg, feature_fn=feat, max_synth=40)
+    tr.run()
+    rep = agreement_report(tr, epoch=3)
+    assert rep and rep["agreement"] >= 0.99, rep
