@@ -50,6 +50,7 @@ class Conv2dTorch(nn.Module):
     padding: Any = 1
     use_bias: bool = False
     kernel_init: Any = dcgan_conv_init
+    s2d: bool = False  # space-to-depth decomposition for k=4/s=2 (see below)
     compute_dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -61,13 +62,37 @@ class Conv2dTorch(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init, (kh, kw, in_ch, self.features), self.param_dtype
         )
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.compute_dtype),
-            kernel.astype(self.compute_dtype),
-            window_strides=(self.stride, self.stride),
-            padding=[(ph, ph), (pw, pw)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        xc = x.astype(self.compute_dtype)
+        kc = kernel.astype(self.compute_dtype)
+        if self.s2d and (kh, kw) == (4, 4) and self.stride == 2:
+            # stride-2 4x4 conv == 2x2-space-to-depth then a stride-1 2x2
+            # conv over 4x the input channels.  Measured on v5e: the FORWARD
+            # is ~25% faster than the direct form, but the BACKWARD's
+            # depth-to-space relayouts make full training ~2.5x slower —
+            # keep this OFF for training; useful for inference-only paths.
+            xp = jnp.pad(xc, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+            n, h, w, c = xp.shape
+            x4 = (
+                xp.reshape(n, h // 2, 2, w // 2, 2, c)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(n, h // 2, w // 2, 4 * c)
+            )
+            k4 = (
+                kc.reshape(2, 2, 2, 2, in_ch, self.features)
+                .transpose(0, 2, 1, 3, 4, 5)
+                .reshape(2, 2, 4 * in_ch, self.features)
+            )
+            y = jax.lax.conv_general_dilated(
+                x4, k4, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                xc, kc,
+                window_strides=(self.stride, self.stride),
+                padding=[(ph, ph), (pw, pw)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), self.param_dtype
