@@ -58,10 +58,15 @@ class Generator64(nn.Module):
 
 
 class Discriminator64(nn.Module):
-    """image (N, 64, 64, nc) -> logits (N,).  Sigmoid lives in the loss."""
+    """image (N, 64, 64, nc) -> logits (N,).  Sigmoid lives in the loss.
+
+    ``s2d``: space-to-depth conv decomposition — forward-only win on v5e
+    (~25% faster), used by the strain scoring passes; training keeps the
+    direct form (see models.layers.Conv2dTorch)."""
 
     ndf: int = 64
     nc: int = 3
+    s2d: bool = False
     compute_dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -70,10 +75,10 @@ class Discriminator64(nn.Module):
         dt = dict(compute_dtype=self.compute_dtype, param_dtype=self.param_dtype)
         d = self.ndf
         x = x.astype(self.compute_dtype)
-        x = Conv2dTorch(d, 4, 2, 1, use_bias=False, **dt)(x)
+        x = Conv2dTorch(d, 4, 2, 1, use_bias=False, s2d=self.s2d, **dt)(x)
         x = leaky_relu(x)
         for features in (d * 2, d * 4, d * 8):
-            x = Conv2dTorch(features, 4, 2, 1, use_bias=False, **dt)(x)
+            x = Conv2dTorch(features, 4, 2, 1, use_bias=False, s2d=self.s2d, **dt)(x)
             x = MaskedBatchNorm(use_running_average=not train, **dt)(
                 x, sample_weights
             )

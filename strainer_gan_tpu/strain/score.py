@@ -65,6 +65,8 @@ def score_d_losses(
     """
     key = (id(disc), batch_size, flatten, float(real_label))
     if key not in _D_SCORE_CACHE:
+        # (s2d conv form was also tried here: slower for the f32 scan on
+        # v5e despite the isolated-forward microbench win — direct convs.)
         disc_f32 = disc.clone(compute_dtype=jnp.float32)
 
         @jax.jit
