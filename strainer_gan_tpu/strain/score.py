@@ -105,15 +105,29 @@ def score_features(
     return _scan_batches(apply_fn, dataset.images, batch_size)
 
 
+_AE_SCORE_CACHE = {}
+
+
 def score_ae_errors(
     ae, ae_params, dataset: DeviceDataset, batch_size: int = 64
 ) -> jnp.ndarray:
-    """Per-sample AE reconstruction MSE (`#autoencoder.py:307-322`)."""
+    """Per-sample AE reconstruction MSE (`#autoencoder.py:307-322`).
+
+    Jitted once per (ae, batch_size) — the AE strainer re-scores the full
+    dataset every epoch (`:346-351`)."""
     from ..models.autoencoder import reconstruction_errors
 
-    def apply_fn(batch_u8):
-        x = normalize_u8(batch_u8, ae.compute_dtype)
-        recon = ae.apply({"params": ae_params}, x)
-        return reconstruction_errors(recon, x)
+    key = (id(ae), batch_size)
+    if key not in _AE_SCORE_CACHE:
 
-    return _scan_batches(apply_fn, dataset.images, batch_size)
+        @jax.jit
+        def scorer(params, images):
+            def apply_fn(batch_u8):
+                x = normalize_u8(batch_u8, ae.compute_dtype)
+                recon = ae.apply({"params": params}, x)
+                return reconstruction_errors(recon, x)
+
+            return _scan_batches(apply_fn, images, batch_size)
+
+        _AE_SCORE_CACHE[key] = scorer
+    return _AE_SCORE_CACHE[key](ae_params, dataset.images)
