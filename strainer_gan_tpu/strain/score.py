@@ -14,7 +14,7 @@ equivalent to the reference's subset DataLoader pass.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -23,8 +23,7 @@ from ..data.pipeline import DeviceDataset, normalize_u8
 from ..ops import losses as L
 
 
-def _scan_batches(apply_fn: Callable, images_u8: jnp.ndarray, batch_size: int,
-                  out_dim: Optional[int] = None) -> jnp.ndarray:
+def _scan_batches(apply_fn: Callable, images_u8: jnp.ndarray, batch_size: int) -> jnp.ndarray:
     """Run ``apply_fn(batch_normalized) -> (b,) or (b, d)`` over all samples."""
     n = images_u8.shape[0]
     nb = -(-n // batch_size)
