@@ -61,8 +61,9 @@ def normalize_u8(batch_u8, dtype):
 def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True, mesh=None):
     """Build the jitted step.  Returns
     ``step(state, batch_u8, source_id, key, lr_g, lr_d, mask_on, concat_on,
-    pool_u8) -> (state, metrics)``; ``mask_on``/``concat_on`` are traced bools
-    implementing the reference's epoch gates without recompilation.
+    pool_u8) -> (state, metrics)``.  ``mask_on`` is a STATIC python bool (the
+    pre-gate program DCEs the scoring forward); ``concat_on`` stays traced
+    (the pool gate is weight-only, no shape change).
     """
     tx = make_optimizer(scfg.beta1, scfg.beta2)
     cdtype = gen.compute_dtype
@@ -266,9 +267,9 @@ def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True, mesh=None)
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
-    # mask_on is static: the C19 compaction changes tensor shapes, so the
-    # masked and unmasked epochs are two compiled programs (one extra compile
-    # at the gate epoch, like the reference's behavioral switch).
+    # mask_on is static: with the gate off the scoring forward is dead code
+    # XLA eliminates, so pre-gate epochs run at full speed (one extra compile
+    # when the gate flips, like the reference's behavioral switch).
     if mesh is not None:
         from ..parallel.mesh import dp_shardings
 
