@@ -150,3 +150,33 @@ def test_remaining_presets_smoke():
                      if cfg.model.arch == "dcgan64" else 900)
         out = tr.run()
         assert out, name
+
+
+def test_resume_matches_uninterrupted_run(tmp_path):
+    """Checkpoint at epoch 0 + resume for epoch 1 == straight 2-epoch run
+    (params bitwise: the checkpoint carries the PRNG key and strain state)."""
+    from strainer_gan_tpu.checkpoint import restore_checkpoint, save_checkpoint
+
+    cfg = shrink(get_preset("mnist8"), epochs=2)
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, auto_batch_divisor=None))
+
+    straight = Trainer(cfg, max_synth=600)
+    straight.run()
+
+    part = Trainer(cfg, max_synth=600)
+    part.setup()
+    part.run_epoch(0)
+    save_checkpoint(str(tmp_path / "ck"), part, epoch=0)
+
+    resumed = Trainer(cfg, max_synth=600)
+    resumed.setup()
+    nxt = restore_checkpoint(str(tmp_path / "ck"), resumed)
+    assert nxt == 1
+    resumed.run_epoch(1)
+
+    for a, b in zip(jax.tree.leaves(straight.state.g_params),
+                    jax.tree.leaves(resumed.state.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(straight.state.d_opt),
+                    jax.tree.leaves(resumed.state.d_opt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
