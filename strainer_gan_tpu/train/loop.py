@@ -55,13 +55,13 @@ def step_config_from(cfg: ExperimentConfig) -> StepConfig:
 _STEP_CACHE = {}
 
 
-def _cached_train_step(gen, disc, scfg: StepConfig):
-    """One compiled step per (model pair, step config): build_models memoizes
-    module instances, so equal experiment configs share the jit cache instead
-    of re-tracing/compiling per Trainer."""
-    key = (id(gen), id(disc), scfg)
+def _cached_train_step(gen, disc, scfg: StepConfig, mesh=None):
+    """One compiled step per (model pair, step config, mesh): build_models
+    memoizes module instances, so equal experiment configs share the jit
+    cache instead of re-tracing/compiling per Trainer."""
+    key = (id(gen), id(disc), scfg, id(mesh) if mesh is not None else None)
     if key not in _STEP_CACHE:
-        _STEP_CACHE[key] = make_train_step(gen, disc, scfg)
+        _STEP_CACHE[key] = make_train_step(gen, disc, scfg, mesh=mesh)
     return _STEP_CACHE[key]
 
 
@@ -108,8 +108,25 @@ class Trainer:
             cfg, self.disc, self.dataset, feature_fn=feature_fn,
             score_batch=64,
         )
+        # data parallelism (C27): ParallelConfig.dp > 1 (or -1 = all devices)
+        # builds a dp mesh, replicates state, and shards each batch; XLA
+        # inserts the gradient all-reduce over ICI.
+        self.mesh = None
+        dp = cfg.parallel.dp
+        if dp == -1:
+            dp = len(jax.devices())
+        if dp and dp > 1:
+            from ..parallel.mesh import make_mesh, put_replicated
+
+            self.mesh = make_mesh(dp, axis_name=cfg.parallel.mesh_axis_name)
+            if cfg.data.batch_size % dp:
+                raise ValueError(
+                    f"batch_size {cfg.data.batch_size} not divisible by dp={dp}"
+                )
+            self.state = put_replicated(self.state, self.mesh)
         self.scfg = step_config_from(cfg)
-        self.step_fn = _cached_train_step(self.gen, self.disc, self.scfg)
+        self.step_fn = _cached_train_step(self.gen, self.disc, self.scfg,
+                                          mesh=self.mesh)
         style = "mnist" if cfg.model.arch == "mlp" else "dcgan"
         self.logger = logger or MetricsLogger(
             log_every=cfg.train.log_every, style=style
@@ -187,12 +204,17 @@ class Trainer:
         for i in range(steps):
             batch = self.dataset.gather(idx[i])
             src = jnp.take(self.dataset.source_id, idx[i], axis=0)
+            if self.mesh is not None:
+                from ..parallel.mesh import put_batch_sharded, put_replicated
+
+                batch = put_batch_sharded(batch, self.mesh)
+                src = put_batch_sharded(src, self.mesh)
             self.state, metrics = self.step_fn(
                 self.state, batch, src, step_keys[i], lr_g, lr_d,
                 bool(mask_on or recycle_on),
                 jnp.asarray(concat_on),
                 self.pool,
-                d_train=d_train,
+                d_train,
             )
             self.logger.log_step(epoch, t.epochs, i, steps, metrics)
             if mask_on:

@@ -274,10 +274,10 @@ def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True, mesh=None)
         from ..parallel.mesh import dp_shardings
 
         in_sh, out_sh = dp_shardings(mesh)
+        # d_train is static positionally (argnum 9): pjit forbids kwargs when
+        # in_shardings is given.
         return jax.jit(
-            step, donate_argnums=donate_argnums, static_argnums=(6,),
-            static_argnames=("d_train",),
+            step, donate_argnums=donate_argnums, static_argnums=(6, 9),
             in_shardings=in_sh, out_shardings=out_sh,
         )
-    return jax.jit(step, donate_argnums=donate_argnums, static_argnums=(6,),
-                   static_argnames=("d_train",))
+    return jax.jit(step, donate_argnums=donate_argnums, static_argnums=(6, 9))

@@ -117,3 +117,48 @@ def test_masked_step_with_mask_off_equals_basic_step(setup):
     # near-zero grads can flip the Adam direction under non-bitwise-equal
     # float paths; bound the damage to ~1 lr unit per element
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-3)
+
+
+def test_trainer_with_dp_mesh_runs_and_matches_first_step():
+    """ParallelConfig.dp wires a mesh through the Trainer; the first step's
+    losses match the single-device run (later steps diverge chaotically from
+    bf16 reduction order, as GANs do)."""
+    import dataclasses
+
+    from strainer_gan_tpu.config import ParallelConfig, get_preset
+    from strainer_gan_tpu.train.loop import Trainer
+
+    base = get_preset("basic")
+    cfg = base.replace(
+        data=dataclasses.replace(base.data, batch_size=16),
+        train=dataclasses.replace(base.train, epochs=1, log_every=0),
+    )
+    t1 = Trainer(cfg, max_synth=64)
+    t1.setup()
+    i1 = t1.run_epoch(0)
+
+    t8 = Trainer(cfg.replace(parallel=ParallelConfig(dp=8)), max_synth=64)
+    assert t8.mesh is not None
+    t8.setup()
+    i8 = t8.run_epoch(0)
+
+    assert i1["steps"] == i8["steps"] > 0
+    m1 = t1.epoch_loss_history[0]
+    m8 = t8.epoch_loss_history[0]
+    # first batch's per-sample real losses agree across layouts
+    np.testing.assert_allclose(m1[:16], m8[:16], rtol=5e-3, atol=1e-3)
+
+
+def test_trainer_dp_batch_divisibility_error():
+    import dataclasses
+
+    from strainer_gan_tpu.config import ParallelConfig, get_preset
+    from strainer_gan_tpu.train.loop import Trainer
+
+    base = get_preset("basic")
+    cfg = base.replace(
+        data=dataclasses.replace(base.data, batch_size=12),
+        parallel=ParallelConfig(dp=8),
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        Trainer(cfg, max_synth=64)
