@@ -37,6 +37,8 @@ def main(argv=None):
                     help="report filter-mask agreement vs the numpy oracle")
     ap.add_argument("--f32", action="store_true",
                     help="parity mode: full float32 compute")
+    ap.add_argument("--dp", type=int, default=None,
+                    help="data-parallel devices (-1 = all)")
     ap.add_argument("--eval-samples", type=int, default=500)
     args = ap.parse_args(argv)
 
@@ -65,6 +67,8 @@ def main(argv=None):
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=args.batch_size))
     if args.f32:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, compute_dtype="float32"))
+    if args.dp is not None:
+        cfg = cfg.replace(parallel=dataclasses.replace(cfg.parallel, dp=args.dp))
 
     from .train.loop import Trainer
     from .obs.images import save_image_grid
