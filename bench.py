@@ -40,7 +40,7 @@ def bench(batch_size: int = 1024, iters: int = 30, warmup: int = 5) -> float:
     )
     src = jnp.zeros((batch_size,), jnp.int32)
     lr = jnp.float32(2e-4)
-    mask_on = True  # strain engaged (static: compacted masked batch)
+    mask_on = True  # strain engaged (static: weighted full-shape lanes)
     concat_on = jnp.asarray(False)
 
     keys = jax.random.split(jax.random.PRNGKey(2), warmup + iters)

@@ -11,6 +11,7 @@ import json
 import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -31,11 +32,24 @@ def save_checkpoint(path: str, trainer, epoch: int) -> str:
         )
         if trainer.pool is not None:
             payload["pool"] = trainer.pool
+        if trainer.engine.ae_params is not None:
+            # the AE strainer trains its net once at ae_train_epoch
+            # (`#autoencoder.py:296-305`); resuming past that epoch without
+            # these params would silently disable straining forever.
+            payload["ae_params"] = trainer.engine.ae_params
         ckptr.save(os.path.join(path, f"epoch_{epoch}"), payload, force=True)
     with open(os.path.join(path, "config.json"), "w") as f:
         f.write(trainer.cfg.to_json())
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(dict(epoch=epoch, d_bn_eval=trainer.engine.d_bn_eval), f)
+        json.dump(
+            dict(
+                epoch=epoch,
+                d_bn_eval=trainer.engine.d_bn_eval,
+                iters=trainer._iters,
+                has_ae=trainer.engine.ae_params is not None,
+            ),
+            f,
+        )
     return path
 
 
@@ -52,6 +66,11 @@ def restore_checkpoint(path: str, trainer, epoch: Optional[int] = None) -> int:
             if d.startswith("epoch_")
         ]
         epoch = max(epochs)
+    meta = {}
+    meta_p = os.path.join(path, "meta.json")
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            meta = json.load(f)
     with ocp.StandardCheckpointer() as ckptr:
         template = dict(
             state=trainer.state,
@@ -62,6 +81,11 @@ def restore_checkpoint(path: str, trainer, epoch: Optional[int] = None) -> int:
         )
         if trainer.pool is not None:
             template["pool"] = trainer.pool
+        if meta.get("has_ae"):
+            # rebuild the AE module so the params template has its structure
+            template["ae_params"] = trainer.engine.build_ae(
+                jax.random.PRNGKey(0)
+            )
         payload = ckptr.restore(os.path.join(path, f"epoch_{epoch}"), template)
     trainer.state = payload["state"]
     trainer.engine.active = payload["active"]
@@ -69,8 +93,8 @@ def restore_checkpoint(path: str, trainer, epoch: Optional[int] = None) -> int:
     trainer.key = payload["key"]
     if "pool" in payload and payload["pool"] is not None:
         trainer.pool = payload["pool"]
-    meta_p = os.path.join(path, "meta.json")
-    if os.path.exists(meta_p):
-        with open(meta_p) as f:
-            trainer.engine.d_bn_eval = json.load(f).get("d_bn_eval", False)
+    if meta.get("has_ae"):
+        trainer.engine.ae_params = payload["ae_params"]
+    trainer.engine.d_bn_eval = meta.get("d_bn_eval", False)
+    trainer._iters = meta.get("iters", 0)
     return epoch + 1

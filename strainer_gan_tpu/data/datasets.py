@@ -18,7 +18,9 @@ from __future__ import annotations
 import gzip
 import os
 import pickle
+import random as _pyrandom
 import struct
+import zlib
 from dataclasses import dataclass
 from typing import Optional
 
@@ -277,7 +279,13 @@ def load_source(
     if ds is None:
         n = max_synth or _SYNTH_SIZES.get(kind, 20000)
         base = 32 if kind == "objects" else (28 if kind == "digits" else image_size)
-        ds = _synthetic(kind, n, base, channels, seed=seed + hash(name) % 10000)
+        # stable per-source seed offset: python's hash() is randomized per
+        # process (PYTHONHASHSEED), which would make the synthetic stand-in
+        # (and any checkpoint --resume against it) differ run to run.
+        ds = _synthetic(
+            kind, n, base, channels,
+            seed=seed + zlib.crc32(name.encode()) % 10000,
+        )
 
     imgs = ds.images
     if imgs.shape[3] != channels:
@@ -302,7 +310,16 @@ def load_source(
             idx = rng.choice(idx, size=k, replace=False)
         ds = ArrayDataset(ds.images[idx], ds.labels[idx])
     if spec.count is not None and spec.count < len(ds):
-        # random.sample subset (`#z_score.py:82-84`)
-        idx = rng.choice(len(ds), size=spec.count, replace=False)
+        idx = count_subset_indices(len(ds), spec.count, seed)
         ds = ArrayDataset(ds.images[idx], ds.labels[idx])
     return ds
+
+
+def count_subset_indices(n: int, count: int, seed: int) -> np.ndarray:
+    """Sample-for-sample replica of the reference's ``count``-limited subset:
+    ``random.seed(999); random.sample(range(len(cifar10)), 20000)``
+    (`#z_score.py:89-91` after the seed at `:23`) — the sample is the first
+    consumption of the seeded python RNG stream, so ``random.Random(seed)``
+    reproduces the exact indices *in the reference's order* (the order is the
+    Subset's composition order and feeds the mixer offsets)."""
+    return np.asarray(_pyrandom.Random(seed).sample(range(n), count), np.int64)

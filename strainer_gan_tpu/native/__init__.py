@@ -99,6 +99,9 @@ def center_crop_u8(images: np.ndarray, size: int) -> np.ndarray | None:
         return None
     images = np.ascontiguousarray(images)
     n, h, w, c = images.shape
+    if size > h or size > w:
+        # negative offsets in the native kernel would read out of bounds
+        raise ValueError(f"crop size {size} exceeds image extent ({h}, {w})")
     out = np.empty((n, size, size, c), np.uint8)
     L.sg_center_crop_u8(_u8p(images), n, h, w, c, _u8p(out), size, _threads())
     return out

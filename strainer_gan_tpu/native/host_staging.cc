@@ -137,6 +137,7 @@ void sg_resize_bilinear_u8(const uint8_t* src, int64_t n, int h, int w, int c,
 // Center-crop a batch of HWC uint8 images to (size, size).
 void sg_center_crop_u8(const uint8_t* src, int64_t n, int h, int w, int c,
                        uint8_t* dst, int size, int threads) {
+  if (size > h || size > w) return;  // would read out of bounds
   int top = (h - size) / 2;
   int left = (w - size) / 2;
   int64_t in_img = static_cast<int64_t>(h) * w * c;

@@ -214,19 +214,26 @@ class StrainerEngine:
         return self.active
 
     # ----------------------------------------------------------- AE training
-    def _train_autoencoder(self, key: jax.Array):
-        """`train_autoencoder` (`#autoencoder.py:296-305`): Adam(1e-3), MSE,
-        5 epochs over the current (active) dataset."""
+    def build_ae(self, key: jax.Array):
+        """Construct the strainer AE and its init params (deterministic given
+        the key) — also used by checkpoint restore to rebuild the module
+        around restored params."""
         cfg = self.cfg
         self.ae = ConvAutoEncoder(
             nc=cfg.model.nc,
             compute_dtype=jnp.float32,  # MSE training is cheap; keep f32
         )
-        k_init, key = jax.random.split(key)
         dummy = jnp.zeros(
             (2, cfg.data.image_size, cfg.data.image_size, cfg.model.nc), jnp.float32
         )
-        params = self.ae.init({"params": k_init}, dummy)["params"]
+        return self.ae.init({"params": key}, dummy)["params"]
+
+    def _train_autoencoder(self, key: jax.Array):
+        """`train_autoencoder` (`#autoencoder.py:296-305`): Adam(1e-3), MSE,
+        5 epochs over the current (active) dataset."""
+        cfg = self.cfg
+        k_init, key = jax.random.split(key)
+        params = self.build_ae(k_init)
         tx = optax.adam(self.sc.ae_lr)
         opt = tx.init(params)
 

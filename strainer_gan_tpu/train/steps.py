@@ -95,7 +95,10 @@ def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True, mesh=None)
     def step(state: GANState, batch_u8, source_id, key, lr_g, lr_d,
              mask_on=False, concat_on=False, pool_u8=None, d_train=True):
         b = batch_u8.shape[0]
-        k_noise, k_score_drop, k_d_drop, k_g_drop, k_pool = jax.random.split(key, 5)
+        # torch samples an independent dropout mask per forward — the real and
+        # fake D passes inside the D step get distinct keys.
+        (k_noise, k_score_drop, k_d_drop_real, k_d_drop_fake, k_g_drop,
+         k_pool) = jax.random.split(key, 6)
         x = normalize_u8(batch_u8, cdtype)
         if scfg.flatten:
             x = x.reshape(b, -1)
@@ -176,14 +179,14 @@ def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True, mesh=None)
             return fake_imgs, w_fake, jnp.ones((b,), bool)
 
         # ------------------------------------------------------------- D update
-        def d_loss_fn(d_params, fake_detached):
-            stats = d_stats
-            out_r, stats = d_apply(d_params, stats, x, w_real, d_train, k_d_drop)
+        def d_loss_fn(d_params, fake_detached, stats0):
+            stats = stats0
+            out_r, stats = d_apply(d_params, stats, x, w_real, d_train, k_d_drop_real)
             per_real = L.bce_from_logits(out_r, real_t)
             err_real = L.weighted_mean(per_real, w_real)
 
             fake_b, fw, gen_slot = build_fake_batch(fake_detached)
-            out_f, stats = d_apply(d_params, stats, fake_b, fw, d_train, k_d_drop)
+            out_f, stats = d_apply(d_params, stats, fake_b, fw, d_train, k_d_drop_fake)
             per_fake = L.bce_from_logits(out_f, fake_t)
             err_fake = L.weighted_mean(per_fake, fw)
 
@@ -226,7 +229,7 @@ def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True, mesh=None)
             fake_sg = jax.lax.stop_gradient(fake)
             (errD_val, d_aux), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True
-            )(state.d_params, fake_sg)
+            )(state.d_params, fake_sg, d_stats)
             d_params, d_opt = adam_step(state.d_params, state.d_opt, d_grads, lr_d)
             d_stats_after = d_aux["stats"]
 
@@ -238,9 +241,11 @@ def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True, mesh=None)
             errG_val, g_aux, g_params, g_opt = g_update(state.d_params, d_stats)
 
             fake_sg = jax.lax.stop_gradient(fake)
+            # torch's G-first forward mutates D's BN running stats before the
+            # D step sees them — thread g_aux's stats in, not the pre-G ones.
             (errD_val, d_aux), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True
-            )(state.d_params, fake_sg)
+            )(state.d_params, fake_sg, g_aux["stats"])
             d_params, d_opt = adam_step(state.d_params, state.d_opt, d_grads, lr_d)
             d_stats_final = d_aux["stats"]
 

@@ -16,16 +16,22 @@ from strainer_gan_tpu.train.loop import Trainer
 
 
 def shrink(cfg, batch=8, epochs=2, **kw):
+    # check_finite=True: every e2e run doubles as a NaN/Inf rail (the CI
+    # default for the sanitizer subsystem, SURVEY §5)
     return cfg.replace(
         data=dataclasses.replace(cfg.data, batch_size=batch),
-        train=dataclasses.replace(cfg.train, epochs=epochs, log_every=0),
+        train=dataclasses.replace(cfg.train, epochs=epochs, log_every=0,
+                                  check_finite=True),
         strain=dataclasses.replace(cfg.strain, **kw) if kw else cfg.strain,
     )
 
 
 def test_mnist8_deterministic():
+    from strainer_gan_tpu.obs.profiler import debug_nans
+
     cfg = shrink(get_preset("mnist8"))
-    a = Trainer(cfg, max_synth=600).run()
+    with debug_nans():  # jax_debug_nans rail live for one full e2e run
+        a = Trainer(cfg, max_synth=600).run()
     b = Trainer(cfg, max_synth=600).run()
     assert a[-1]["steps"] == b[-1]["steps"] > 0
     np.testing.assert_allclose(
@@ -64,8 +70,12 @@ def test_mnist_full_pipeline_with_smoothed_labels():
     tr = Trainer(cfg, feature_fn=feat, max_synth=800)
     out = tr.run()
     assert out[-1]["steps"] > 0
-    # prefilter applied before training
-    assert not np.asarray(tr.engine.base_active).all() or True
+    # prefilter actually ran before training: it computed a threshold and its
+    # mask became the base_active mask the epochs trained on
+    assert tr.engine.last_threshold is not None
+    np.testing.assert_array_equal(
+        np.asarray(tr.engine.base_active), np.asarray(tr.engine.last_mask)
+    )
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -83,6 +93,48 @@ def test_checkpoint_roundtrip(tmp_path):
     l1 = jax.tree.leaves(tr.state.g_params)[0]
     l2 = jax.tree.leaves(tr2.state.g_params)[0]
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_checkpoint_restores_ae_strainer_and_iters(tmp_path):
+    """Resuming past ae_train_epoch must restore the trained AE params (the
+    engine only trains the AE when epoch == ae_train_epoch) and _iters (the
+    sample_every cadence)."""
+    from strainer_gan_tpu.checkpoint import restore_checkpoint, save_checkpoint
+
+    cfg = shrink(get_preset("autoencoder"), batch=8, epochs=1,
+                 ae_train_epoch=0, ae_train_epochs=1, start_epoch=0)
+    tr = Trainer(tr_cfg := cfg, max_synth=24)
+    tr.run()
+    assert tr.engine.ae_params is not None
+    save_checkpoint(str(tmp_path / "ck"), tr, epoch=0)
+
+    tr2 = Trainer(tr_cfg, max_synth=24)
+    nxt = restore_checkpoint(str(tmp_path / "ck"), tr2)
+    assert nxt == 1
+    assert tr2.engine.ae_params is not None
+    assert tr2._iters == tr._iters > 0
+    for a, b in zip(jax.tree.leaves(tr.engine.ae_params),
+                    jax.tree.leaves(tr2.engine.ae_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the restored AE is usable: epoch 1 re-strains without retraining
+    tr2.run_epoch(1)
+    assert tr2.engine.last_scores is not None
+
+
+def test_count_subset_matches_python_random_sample():
+    """Composition parity (SURVEY §2.4 quirk #7): the count-limited source
+    subset must reproduce the reference's
+    ``random.seed(999); random.sample(range(n), k)`` (`#z_score.py:89-91`)
+    index-for-index, in the reference's order."""
+    import random
+
+    from strainer_gan_tpu.data.datasets import count_subset_indices
+
+    for n, k, seed in [(50000, 20000, 999), (1000, 100, 999), (777, 33, 1)]:
+        random.seed(seed)
+        want = random.sample(range(n), k)
+        got = count_subset_indices(n, k, seed)
+        np.testing.assert_array_equal(got, np.asarray(want))
 
 
 def test_cli_list_and_smoke(tmp_path):
