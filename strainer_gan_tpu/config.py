@@ -187,6 +187,12 @@ class TrainConfig:
     fixed_noise_n: int = 64
     # failure detection (SURVEY §5): verify params are finite at epoch ends
     check_finite: bool = False
+    # scan-fused steps per device dispatch (train/steps.py
+    # make_chunked_train_step).  >1 removes per-step dispatch overhead and
+    # host syncs (~5% throughput on a remote-attached chip); 1 restores
+    # step-at-a-time execution.  Epoch remainders (steps % chunk) and dp-mesh
+    # runs always use the per-step path.
+    steps_per_dispatch: int = 8
 
 
 @dataclass(frozen=True)

@@ -62,7 +62,18 @@ class Discriminator64(nn.Module):
 
     ``s2d``: space-to-depth conv decomposition — forward-only win on v5e
     (~25% faster), used by the strain scoring passes; training keeps the
-    direct form (see models.layers.Conv2dTorch)."""
+    direct form (see models.layers.Conv2dTorch).
+
+    The network is split into ``stem`` (conv0 -> LeakyReLU -> conv1, the
+    prefix with NO batch norm) and ``head`` (BN -> ... -> logits).  Because
+    convs are per-sample and BatchNorm only starts in the head, the stem
+    output is identical between the in-step strain *scoring* forward
+    (unweighted batch stats) and the *training* real forward (masked batch
+    stats) — the fused train step computes it once and shares it between
+    both (train/steps.py), saving ~35% of one D forward per masked step.
+    Attribute names replicate the former ``nn.compact`` auto-names so the
+    parameter tree (checkpoints, torch ports, parity tests) is unchanged.
+    """
 
     ndf: int = 64
     nc: int = 3
@@ -70,18 +81,41 @@ class Discriminator64(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = True, sample_weights=None):
+    def setup(self):
         dt = dict(compute_dtype=self.compute_dtype, param_dtype=self.param_dtype)
         d = self.ndf
+        self.Conv2dTorch_0 = Conv2dTorch(d, 4, 2, 1, use_bias=False,
+                                         s2d=self.s2d, **dt)
+        self.Conv2dTorch_1 = Conv2dTorch(d * 2, 4, 2, 1, use_bias=False,
+                                         s2d=self.s2d, **dt)
+        self.Conv2dTorch_2 = Conv2dTorch(d * 4, 4, 2, 1, use_bias=False,
+                                         s2d=self.s2d, **dt)
+        self.Conv2dTorch_3 = Conv2dTorch(d * 8, 4, 2, 1, use_bias=False,
+                                         s2d=self.s2d, **dt)
+        self.Conv2dTorch_4 = Conv2dTorch(1, 4, 1, 0, use_bias=False, **dt)
+        self.MaskedBatchNorm_0 = MaskedBatchNorm(**dt)
+        self.MaskedBatchNorm_1 = MaskedBatchNorm(**dt)
+        self.MaskedBatchNorm_2 = MaskedBatchNorm(**dt)
+
+    def stem(self, x):
+        """conv0 -> LeakyReLU -> conv1 (raw, pre-BN): mask-independent."""
         x = x.astype(self.compute_dtype)
-        x = Conv2dTorch(d, 4, 2, 1, use_bias=False, s2d=self.s2d, **dt)(x)
+        x = self.Conv2dTorch_0(x)
         x = leaky_relu(x)
-        for features in (d * 2, d * 4, d * 8):
-            x = Conv2dTorch(features, 4, 2, 1, use_bias=False, s2d=self.s2d, **dt)(x)
-            x = MaskedBatchNorm(use_running_average=not train, **dt)(
-                x, sample_weights
-            )
-            x = leaky_relu(x)
-        x = Conv2dTorch(1, 4, 1, 0, use_bias=False, **dt)(x)  # (N,1,1,1)
+        return self.Conv2dTorch_1(x)
+
+    def head(self, h, train: bool = True, sample_weights=None):
+        ura = not train
+        x = self.MaskedBatchNorm_0(h, sample_weights, use_running_average=ura)
+        x = leaky_relu(x)
+        x = self.Conv2dTorch_2(x)
+        x = self.MaskedBatchNorm_1(x, sample_weights, use_running_average=ura)
+        x = leaky_relu(x)
+        x = self.Conv2dTorch_3(x)
+        x = self.MaskedBatchNorm_2(x, sample_weights, use_running_average=ura)
+        x = leaky_relu(x)
+        x = self.Conv2dTorch_4(x)  # (N,1,1,1)
         return x.reshape(x.shape[0]).astype(jnp.float32)
+
+    def __call__(self, x, train: bool = True, sample_weights=None):
+        return self.head(self.stem(x), train, sample_weights)

@@ -162,7 +162,12 @@ class MaskedBatchNorm(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, sample_weights: Optional[jnp.ndarray] = None):
+    def __call__(self, x, sample_weights: Optional[jnp.ndarray] = None,
+                 use_running_average: Optional[bool] = None):
+        # call-time override lets setup()-style modules (Discriminator64's
+        # stem/head split) pick train/eval per call instead of per instance
+        if use_running_average is None:
+            use_running_average = self.use_running_average
         features = x.shape[-1]
         reduce_axes = tuple(range(x.ndim - 1))  # all but channel
 
@@ -176,7 +181,7 @@ class MaskedBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
         )
 
-        if self.use_running_average:
+        if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = x.astype(jnp.float32)

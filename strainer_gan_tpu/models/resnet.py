@@ -204,6 +204,38 @@ def load_torch_resnet_state_dict(variables, state_dict, block: str = "basic",
     return {"params": params, "batch_stats": stats}
 
 
+def export_torch_resnet_state_dict(variables, block: str = "basic",
+                                   stage_sizes: Sequence[int] = (2, 2, 2, 2)):
+    """Inverse of ``load_torch_resnet_state_dict``: our variables pytree ->
+    a torchvision-named state_dict of float32 numpy arrays.
+
+    Lets parity tests run the REFERENCE's torch-side scoring
+    (`#z_score.py:276-294` detect_outliers) on OUR backbone weights — the
+    cross-framework golden chain for the feature-space strainers.  BN
+    ``num_batches_tracked`` entries are omitted (eval-mode forwards never
+    read them); load with ``strict=False`` or into a module without them.
+    """
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def node(tree, path):
+        for part in path:
+            tree = tree[part]
+        return tree
+
+    out = {}
+    for path, (conv_name, bn_name) in torch_name_map(block, stage_sizes):
+        p = node(params, path)
+        st = node(stats, path)
+        k = np.asarray(p["Conv2dTorch_0"]["kernel"], np.float32)  # (kh,kw,in,out)
+        out[conv_name + ".weight"] = np.transpose(k, (3, 2, 0, 1))
+        out[bn_name + ".weight"] = np.asarray(p["MaskedBatchNorm_0"]["scale"], np.float32)
+        out[bn_name + ".bias"] = np.asarray(p["MaskedBatchNorm_0"]["bias"], np.float32)
+        out[bn_name + ".running_mean"] = np.asarray(st["MaskedBatchNorm_0"]["mean"], np.float32)
+        out[bn_name + ".running_var"] = np.asarray(st["MaskedBatchNorm_0"]["var"], np.float32)
+    return out
+
+
 def try_load_pretrained(name: str):
     """Load a torch state_dict for ``name`` ('resnet18'/'resnet50') from disk
     if the user staged one (STRAINER_WEIGHTS_DIR or ./weights); else None.

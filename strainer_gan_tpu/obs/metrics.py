@@ -8,9 +8,14 @@ Keeps the reference's console formats for parity debugging:
 * strain reports: ``Removed N outliers`` (`#z_score.py:321`), contamination
   counters (`# 상위 10%...X.py:335-337`).
 
-Loss histories (G_losses/D_losses, `#%basic.py:296-298`) are retained in
-memory; scalar fetches are batched per logging interval so the device never
-syncs more often than the reference printed.
+Loss histories (G_losses/D_losses, `#%basic.py:296-298`) are retained as
+DEVICE arrays and only materialized to host floats on first read (one fused
+fetch), so collection never blocks the train loop: on a remote-attached TPU
+a per-step ``float()`` costs a ~28 ms round trip and would make the Trainer
+dispatch-bound (the round-1 bench sidestepped the Trainer for exactly this
+reason).  The only in-loop host syncs left are the bounded ``log_every``
+console prints — the same cadence at which the reference itself calls
+``.item()``.
 """
 from __future__ import annotations
 
@@ -28,34 +33,97 @@ class MetricsLogger:
         self.style = style
         self.stream = stream or sys.stdout
         self.collect = collect
-        self.G_losses: List[float] = []
-        self.D_losses: List[float] = []
-        self.step_times: List[float] = []
+        # device-side buffers: scalars (per-step) or (chunk,) arrays
+        self._g_parts: List = []
+        self._d_parts: List = []
+        self._cache = None  # (n_parts, g_floats, d_floats)
+        # (wall seconds, steps covered) per timed call
+        self._timings: List = []
         self._last = time.perf_counter()
 
+    # ------------------------------------------------------------ collection
+    def _materialize(self):
+        if self._cache is not None and self._cache[0] == len(self._g_parts):
+            return self._cache[1], self._cache[2]
+        if not self._g_parts:
+            return [], []
+        import jax.numpy as jnp
+
+        # one concatenated device fetch per loss series, not one per step
+        g = np.asarray(
+            jnp.concatenate([jnp.atleast_1d(jnp.asarray(p, jnp.float32))
+                             for p in self._g_parts])
+        ).tolist()
+        d = np.asarray(
+            jnp.concatenate([jnp.atleast_1d(jnp.asarray(p, jnp.float32))
+                             for p in self._d_parts])
+        ).tolist()
+        self._cache = (len(self._g_parts), g, d)
+        return g, d
+
+    @property
+    def G_losses(self) -> List[float]:
+        return self._materialize()[0]
+
+    @property
+    def D_losses(self) -> List[float]:
+        return self._materialize()[1]
+
+    @property
+    def step_times(self) -> List[float]:
+        return [dt / n for dt, n in self._timings for _ in range(n)]
+
+    # --------------------------------------------------------------- logging
+    def _print_step(self, epoch, num_epochs, it, steps, errD, errG,
+                    d_x=None, d_g_z1=None, d_g_z2=None):
+        if self.style == "dcgan":
+            self.stream.write(
+                "[%d/%d][%d/%d]\tLoss_D: %.4f\tLoss_G: %.4f\t"
+                "D(x): %.4f\tD(G(z)): %.4f / %.4f\n"
+                % (epoch, num_epochs, it, steps,
+                   errD, errG, d_x, d_g_z1, d_g_z2)
+            )
+        else:
+            self.stream.write(
+                "Epoch [%d/%d] Step [%d/%d] d_loss: %.5f g_loss: %.5f\n"
+                % (epoch + 1, num_epochs, it + 1, steps, errD, errG)
+            )
+
     def log_step(self, epoch, num_epochs, it, steps, metrics: Dict):
+        """Record one step.  Appends device scalars without fetching; only a
+        ``log_every`` console print forces a (bounded) scalar fetch."""
         if self.collect:
-            self.G_losses.append(float(metrics["errG"]))
-            self.D_losses.append(float(metrics["errD"]))
+            self._g_parts.append(metrics["errG"])
+            self._d_parts.append(metrics["errD"])
         now = time.perf_counter()
-        self.step_times.append(now - self._last)
+        self._timings.append((now - self._last, 1))
         self._last = now
         if self.log_every and it % self.log_every == 0:
-            if self.style == "dcgan":
-                self.stream.write(
-                    "[%d/%d][%d/%d]\tLoss_D: %.4f\tLoss_G: %.4f\t"
-                    "D(x): %.4f\tD(G(z)): %.4f / %.4f\n"
-                    % (epoch, num_epochs, it, steps,
-                       float(metrics["errD"]), float(metrics["errG"]),
-                       float(metrics["D_x"]), float(metrics["D_G_z1"]),
-                       float(metrics["D_G_z2"]))
-                )
-            else:
-                self.stream.write(
-                    "Epoch [%d/%d] Step [%d/%d] d_loss: %.5f g_loss: %.5f\n"
-                    % (epoch + 1, num_epochs, it + 1, steps,
-                       float(metrics["errD"]), float(metrics["errG"]))
-                )
+            self._print_step(
+                epoch, num_epochs, it, steps,
+                float(metrics["errD"]), float(metrics["errG"]),
+                float(metrics["D_x"]), float(metrics["D_G_z1"]),
+                float(metrics["D_G_z2"]),
+            )
+
+    def log_chunk(self, epoch, num_epochs, it0, steps, metrics: Dict, n: int):
+        """Record a scan-chunk of ``n`` steps whose stacked metrics arrived in
+        one dispatch (train/steps.py make_chunked_train_step)."""
+        if self.collect:
+            self._g_parts.append(metrics["errG"])
+            self._d_parts.append(metrics["errD"])
+        now = time.perf_counter()
+        self._timings.append((now - self._last, n))
+        self._last = now
+        if self.log_every:
+            for j in range(n):
+                if (it0 + j) % self.log_every == 0:
+                    self._print_step(
+                        epoch, num_epochs, it0 + j, steps,
+                        float(metrics["errD"][j]), float(metrics["errG"][j]),
+                        float(metrics["D_x"][j]), float(metrics["D_G_z1"][j]),
+                        float(metrics["D_G_z2"][j]),
+                    )
 
     def log_strain(self, epoch: int, removed: int, remaining: int):
         self.stream.write(
@@ -70,10 +138,17 @@ class MetricsLogger:
         )
 
     def summary(self) -> Dict:
-        st = np.asarray(self.step_times[2:]) if len(self.step_times) > 2 else np.asarray([0.0])
+        g, d = self._materialize()
+        n_steps = sum(n for _, n in self._timings)
+        # skip the first two timed calls (compile + pipeline fill)
+        tail = self._timings[2:]
+        mean_t = (
+            sum(dt for dt, _ in tail) / max(sum(n for _, n in tail), 1)
+            if tail else 0.0
+        )
         return dict(
-            steps=len(self.G_losses),
-            mean_step_time=float(st.mean()) if st.size else 0.0,
-            last_G_loss=self.G_losses[-1] if self.G_losses else None,
-            last_D_loss=self.D_losses[-1] if self.D_losses else None,
+            steps=len(g) if g else n_steps,
+            mean_step_time=mean_t,
+            last_G_loss=g[-1] if g else None,
+            last_D_loss=d[-1] if d else None,
         )

@@ -5,9 +5,12 @@ it in HBM, constructs models/state, wires the StrainerEngine and fake pool,
 and drives the per-epoch schedule exactly as the reference scripts do
 (prefilter -> [lr adjust] -> [re-strain] -> batch loop -> [reset]).
 
-The whole batch loop runs as jitted steps over device-resident data; the only
-per-epoch host crossings are the surviving-sample count (one scalar, to fix
-the step count) and whatever the logger prints.
+The whole batch loop runs as jitted steps over device-resident data —
+``steps_per_dispatch`` of them per device dispatch via the scan-chunked
+executor.  Per-epoch host crossings: the surviving-sample count (one scalar,
+to fix the step count), the epoch-end contamination/loss-history fetches
+(one each), and the bounded ``log_every`` console prints; per-step metric
+collection stays on device (obs.metrics buffers device arrays).
 """
 from __future__ import annotations
 
@@ -25,7 +28,7 @@ from ..strain.engine import StrainerEngine
 from ..strain.pool import build_fake_pool
 from .schedules import lr_at
 from .state import create_state
-from .steps import StepConfig, make_train_step
+from .steps import StepConfig, make_chunked_train_step, make_train_step
 
 
 def step_config_from(cfg: ExperimentConfig) -> StepConfig:
@@ -142,6 +145,7 @@ class Trainer:
         self.img_list: List[np.ndarray] = []  # fixed-noise grids (`#%basic.py:226`)
         self.strain_quality: List[Dict] = []  # per-strain precision/recall
         self._iters = 0
+        self._chunk_fn = None  # lazily-built scan-chunked executor
 
     # ------------------------------------------------------------------- run
     def setup(self):
@@ -198,29 +202,69 @@ class Trainer:
         d_train = not self.engine.d_bn_eval
 
         step_keys = jax.random.split(k_steps, max(steps, 1))
-        epoch_metrics = []
-        n_contam_total = 0
-        n_filtered_total = 0
-        for i in range(steps):
+        gate = bool(mask_on or recycle_on)
+        concat_gate = jnp.asarray(concat_on)
+        loss_parts = []  # per-sample real losses, device, (b,) or (chunk, b)
+        contam_parts = []  # device scalars / (chunk,) arrays
+        filtered_parts = []
+        last_metrics = None
+
+        # scan-chunked execution (steps_per_dispatch steps per device
+        # dispatch; see make_chunked_train_step).  The dp-mesh path stays
+        # per-step (its shardings are declared on per-batch arguments).
+        chunk = 1 if self.mesh is not None else max(1, t.steps_per_dispatch)
+        n_chunked = (steps // chunk) * chunk if chunk > 1 else 0
+        if n_chunked:
+            if self._chunk_fn is None:
+                self._chunk_fn = make_chunked_train_step(
+                    self.gen, self.disc, self.scfg
+                )
+            for c0 in range(0, n_chunked, chunk):
+                sl = slice(c0, c0 + chunk)
+                self.state, metrics = self._chunk_fn(
+                    self.state, self.dataset.images, self.dataset.source_id,
+                    idx[sl], step_keys[sl], lr_g, lr_d, gate, concat_gate,
+                    self.pool, d_train,
+                )
+                self.logger.log_chunk(epoch, t.epochs, c0, steps, metrics, chunk)
+                if mask_on:
+                    contam_parts.append(metrics["n_contam"])
+                    filtered_parts.append(metrics["n_filtered_contam"])
+                if self.logger.collect:
+                    loss_parts.append(metrics["real_loss_per_sample"])
+                last_metrics = metrics
+                # fixed-noise grids land on the chunk boundary nearest their
+                # iter (`#%basic.py:300-304` samples mid-epoch; with >1 step
+                # per dispatch the grid reflects up to chunk-1 extra steps)
+                if (
+                    t.sample_every
+                    and self.logger.collect
+                    and any((self._iters + j) % t.sample_every == 0
+                            for j in range(chunk))
+                ):
+                    self.img_list.append(self.sample())
+                self._iters += chunk
+            last_metrics = {k: v[-1] for k, v in last_metrics.items()}
+
+        for i in range(n_chunked, steps):
             batch = self.dataset.gather(idx[i])
             src = jnp.take(self.dataset.source_id, idx[i], axis=0)
             if self.mesh is not None:
-                from ..parallel.mesh import put_batch_sharded, put_replicated
+                from ..parallel.mesh import put_batch_sharded
 
                 batch = put_batch_sharded(batch, self.mesh)
                 src = put_batch_sharded(src, self.mesh)
             self.state, metrics = self.step_fn(
                 self.state, batch, src, step_keys[i], lr_g, lr_d,
-                bool(mask_on or recycle_on),
-                jnp.asarray(concat_on),
-                self.pool,
-                d_train,
+                gate, concat_gate, self.pool, d_train,
             )
             self.logger.log_step(epoch, t.epochs, i, steps, metrics)
             if mask_on:
-                n_contam_total += int(metrics["n_contam"])
-                n_filtered_total += int(metrics["n_filtered_contam"])
-            epoch_metrics.append(metrics)
+                contam_parts.append(metrics["n_contam"])
+                filtered_parts.append(metrics["n_filtered_contam"])
+            if self.logger.collect:
+                loss_parts.append(metrics["real_loss_per_sample"])
+            last_metrics = metrics
             # fixed-noise grid every sample_every iters (`#%basic.py:300-304`)
             if (
                 t.sample_every
@@ -230,6 +274,15 @@ class Trainer:
                 self.img_list.append(self.sample())
             self._iters += 1
 
+        n_contam_total = n_filtered_total = 0
+        if mask_on and contam_parts:
+            # one host fetch per epoch, not one per step
+            n_contam_total = int(
+                jnp.sum(jnp.concatenate([jnp.atleast_1d(p) for p in contam_parts]))
+            )
+            n_filtered_total = int(
+                jnp.sum(jnp.concatenate([jnp.atleast_1d(p) for p in filtered_parts]))
+            )
         if mask_on:
             self.logger.log_contamination(epoch, n_filtered_total, n_contam_total)
 
@@ -251,12 +304,13 @@ class Trainer:
                 f"Epoch {epoch + 1}: FID = {metrics.get('fid_real')}\n"
             )
 
-        if self.logger.collect and epoch_metrics:
+        if self.logger.collect and loss_parts:
             # per-epoch record of per-sample real losses (the reference's
-            # ``epoch_losses`` list, `# 1,2,8.py:300-303`)
+            # ``epoch_losses`` list, `# 1,2,8.py:300-303`) — concatenated on
+            # device, fetched once
             self.epoch_loss_history.append(
-                np.concatenate(
-                    [np.asarray(m["real_loss_per_sample"]) for m in epoch_metrics]
+                np.asarray(
+                    jnp.concatenate([p.reshape(-1) for p in loss_parts])
                 )
             )
 
@@ -277,7 +331,7 @@ class Trainer:
             lr_d=lr_d,
             filtered_contam=n_filtered_total,
             total_contam=n_contam_total,
-            last=epoch_metrics[-1] if epoch_metrics else None,
+            last=last_metrics,
         )
 
     def run(self, epochs: Optional[int] = None) -> List[Dict]:

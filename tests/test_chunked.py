@@ -1,0 +1,160 @@
+"""Scan-chunked execution (train/steps.py make_chunked_train_step) and the
+stem-shared masked step.
+
+Equivalence contracts:
+* stem sharing (Discriminator64.stem/head + captured VJP) is EXACT — same
+  ops in the same order — so per-step results match bitwise;
+* the chunked executor runs the identical step body under lax.scan: the
+  step's *metrics* (computed before the Adam update) match bitwise, while
+  updated params are compared to an Adam-step tolerance (XLA may fuse the
+  scanned body differently at the last bf16 bit, and Adam's first-step
+  update is sign(g)-scaled, so an ulp-level gradient difference moves a
+  parameter by up to ~2*lr — same argument as tests/test_parallel.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from strainer_gan_tpu.config import get_preset
+from strainer_gan_tpu.models import build_models
+from strainer_gan_tpu.train.loop import Trainer, step_config_from
+from strainer_gan_tpu.train.state import create_state
+from strainer_gan_tpu.train.steps import (
+    make_chunked_train_step,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_preset("batch_mask")
+    gen, disc = build_models(cfg.model)
+    scfg = step_config_from(cfg)
+    state = create_state(cfg, gen, disc, jax.random.PRNGKey(0))
+    b = 16
+    batch = jax.random.randint(
+        jax.random.PRNGKey(1), (b, 64, 64, 3), 0, 256, jnp.uint8
+    )
+    src = (jnp.arange(b) % 3 == 0).astype(jnp.int32)
+    return cfg, gen, disc, scfg, state, batch, src
+
+
+LR = jnp.float32(2e-4)
+
+
+def test_stem_share_bitwise_equals_plain_step(setup):
+    cfg, gen, disc, scfg, state, batch, src = setup
+
+    def run(stem_share):
+        st = state
+        step = make_train_step(gen, disc, scfg, donate=False,
+                               stem_share=stem_share)
+        for i in range(3):
+            st, m = step(st, batch, src,
+                         jax.random.fold_in(jax.random.PRNGKey(2), i),
+                         LR, LR, True, jnp.asarray(False), None)
+        return st, m
+
+    s1, m1 = run(True)
+    s0, m0 = run(False)
+    for k in ("errD", "errG", "D_x", "D_G_z1", "D_G_z2"):
+        assert float(m1[k]) == float(m0[k]), k
+    np.testing.assert_array_equal(
+        np.asarray(m1["keep_mask"]), np.asarray(m0["keep_mask"])
+    )
+    for a, b_ in zip(jax.tree.leaves(s1.d_params), jax.tree.leaves(s0.d_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    for a, b_ in zip(jax.tree.leaves(s1.g_params), jax.tree.leaves(s0.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_chunked_matches_per_step(setup):
+    cfg, gen, disc, scfg, state, batch, src = setup
+    b = batch.shape[0]
+    n = 3
+    keys = jnp.stack(
+        [jax.random.fold_in(jax.random.PRNGKey(2), i) for i in range(n)]
+    )
+
+    step = make_train_step(gen, disc, scfg, donate=False)
+    st = state
+    per_metrics = []
+    for i in range(n):
+        st, m = step(st, batch, src, keys[i], LR, LR, True,
+                     jnp.asarray(False), None)
+        per_metrics.append(m)
+
+    cstep = make_chunked_train_step(gen, disc, scfg, donate=False)
+    idx = jnp.tile(jnp.arange(b)[None, :], (n, 1))
+    st_c, mm = cstep(state, batch, src, idx, keys, LR, LR, True,
+                     jnp.asarray(False), None)
+
+    # first-step metrics are bitwise equal (identical body, same inputs)
+    assert float(mm["errD"][0]) == float(per_metrics[0]["errD"])
+    assert float(mm["errG"][0]) == float(per_metrics[0]["errG"])
+    np.testing.assert_array_equal(
+        np.asarray(mm["keep_mask"][0]), np.asarray(per_metrics[0]["keep_mask"])
+    )
+    # later steps track within Adam-step tolerance
+    for i in range(1, n):
+        np.testing.assert_allclose(
+            float(mm["errD"][i]), float(per_metrics[i]["errD"]),
+            rtol=5e-2, atol=5e-3,
+        )
+    for a, b_ in zip(jax.tree.leaves(st_c.d_params), jax.tree.leaves(st.d_params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            atol=float(n * 2 * 2e-4),
+        )
+
+
+def test_chunked_gathers_correct_batches(setup):
+    """The in-scan gather must feed idx[i] rows of the dataset to step i:
+    with contamination tags on known rows, the per-step ground-truth
+    contamination counters recover exactly the planted counts."""
+    cfg, gen, disc, scfg, state, batch, src = setup
+    b = batch.shape[0]
+    data = jnp.concatenate([batch, batch], axis=0)
+    src_all = jnp.concatenate(
+        [jnp.zeros((b,), jnp.int32), jnp.ones((b,), jnp.int32)]
+    )
+    idx = jnp.stack([jnp.arange(b), jnp.arange(b) + b])  # clean row, contam row
+    keys = jnp.stack([jax.random.PRNGKey(3), jax.random.PRNGKey(4)])
+    cstep = make_chunked_train_step(gen, disc, scfg, donate=False)
+    _, mm = cstep(state, data, src_all, idx, keys, LR, LR, True,
+                  jnp.asarray(False), None)
+    np.testing.assert_array_equal(np.asarray(mm["n_contam"]), [0, b])
+
+
+def test_trainer_chunked_epoch_equals_per_step_epoch():
+    """Trainer with steps_per_dispatch=4 must produce the same number of
+    collected metrics/losses as step-at-a-time execution, with matching
+    first-step values (same epoch indices, same keys)."""
+    import dataclasses
+
+    base = get_preset("batch_mask")
+    cfg = base.replace(
+        data=dataclasses.replace(base.data, batch_size=8),
+        train=dataclasses.replace(
+            base.train, epochs=1, log_every=0, steps_per_dispatch=4
+        ),
+        strain=dataclasses.replace(base.strain, mask_start_epoch=0),
+    )
+    t_chunk = Trainer(cfg, max_synth=72)  # 9 batches: 2 chunks + 1 remainder
+    t_chunk.run(1)
+    cfg1 = cfg.replace(
+        train=dataclasses.replace(cfg.train, steps_per_dispatch=1)
+    )
+    t_step = Trainer(cfg1, max_synth=72)
+    t_step.run(1)
+
+    assert len(t_chunk.logger.G_losses) == len(t_step.logger.G_losses) == 9
+    # same sampler indices + same keys -> first step bitwise equal
+    assert t_chunk.logger.D_losses[0] == t_step.logger.D_losses[0]
+    assert t_chunk.epoch_loss_history[0].shape == \
+        t_step.epoch_loss_history[0].shape
+    np.testing.assert_allclose(
+        t_chunk.epoch_loss_history[0][:8], t_step.epoch_loss_history[0][:8],
+        rtol=1e-6,
+    )
