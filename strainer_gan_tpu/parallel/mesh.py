@@ -59,11 +59,26 @@ def dp_shardings(mesh: Mesh, axis_name: str = "dp"):
         dict(
             errD=rep, errG=rep, errD_real=rep, errD_fake=rep,
             D_x=rep, D_G_z1=rep, D_G_z2=rep,
-            real_loss_per_sample=bat, keep_mask=bat,
+            real_loss_per_sample=bat, keep_mask=bat, score_probs=bat,
             n_contam=rep, n_filtered_contam=rep,
         ),
     )
     return in_shardings, out_shardings
+
+
+def put_global_batch(local_x, mesh: Mesh, axis_name: str = "dp"):
+    """Multi-host batch staging: each process contributes its local shard of
+    a globally-sharded batch.  Single-process: plain sharded device_put.
+
+    ``local_x``'s leading dim is the PER-PROCESS batch; the returned global
+    array has leading dim ``local * process_count``, sharded over ``dp``
+    (DCN between hosts, ICI within — XLA sees one global array either way).
+    """
+    if jax.process_count() == 1:
+        return put_batch_sharded(local_x, mesh, axis_name)
+    return jax.make_array_from_process_local_data(
+        batch_sharded(mesh, axis_name), np.asarray(local_x)
+    )
 
 
 def put_replicated(tree, mesh: Mesh):

@@ -23,15 +23,28 @@ def agreement_report(trainer, epoch: Optional[int] = None) -> Dict:
     """
     eng = trainer.engine
     method = trainer.cfg.strain.method
-    if (
-        eng.last_scores is None or eng.last_mask is None
-        or method in ("none", "batch_quantile_mask")
-    ):
+    sc = trainer.cfg.strain
+
+    if method == "batch_quantile_mask":
+        # in-step mask (C19): compare the device quantile mask against the
+        # reference's host-side torch.quantile semantics on the same recorded
+        # D scores (`# 상위 10%...X.py:283-284`)
+        if eng.last_batch_scores is None or eng.last_batch_mask is None:
+            return {}
+        scores = np.asarray(eng.last_batch_scores, np.float64)
+        ours = np.asarray(eng.last_batch_mask)
+        want, _ = oracle.batch_quantile_keep(scores, sc.mask_quantile)
+        agree = oracle.mask_agreement(ours, want)
+        return dict(
+            method=method, agreement=agree, ours_kept=int(ours.sum()),
+            oracle_kept=int(np.asarray(want).sum()), n=len(ours),
+        )
+
+    if eng.last_scores is None or eng.last_mask is None or method == "none":
         return {}
 
     scores = np.asarray(eng.last_scores, np.float64).astype(np.float32)
     ours = np.asarray(eng.last_mask)  # mask at strain time (pre epoch-reset)
-    sc = trainer.cfg.strain
 
     if method == "zscore_fixed":
         want = scores < sc.z_threshold if sc.strict_less else scores <= sc.z_threshold
@@ -39,9 +52,17 @@ def agreement_report(trainer, epoch: Optional[int] = None) -> Dict:
         thr, _, _ = oracle.find_elbow_threshold(scores)
         want = scores < thr
     elif method == "zscore_dbscan":
-        # ratio came from the device DBSCAN; re-threshold with numpy quantile
-        thr = float(np.quantile(scores, ours.mean())) if ours.any() else np.inf
-        want = scores <= thr
+        # full independent oracle chain: sklearn StandardScaler+DBSCAN on the
+        # cached features estimates the clean ratio, then numpy quantile on
+        # the max-|z| scores (`# z_score + DBSCAN.py:272-326`) — no reuse of
+        # the device decision
+        if eng._features is None:
+            return {}
+        feats = np.asarray(eng._features, np.float32)
+        ratio = oracle.dbscan_clean_ratio(
+            feats, sc.dbscan_eps, sc.dbscan_min_samples
+        )
+        want, _ = oracle.zscore_quantile_mask(feats, ratio, sc.z_std_mode)
     elif method == "loss_percentile":
         base = np.asarray(eng.base_active)
         ratio = None

@@ -70,6 +70,8 @@ class StrainerEngine:
         self.last_threshold = None
         self.last_scores = None  # max-|z| or per-sample losses of last strain
         self.last_mask = None  # the mask produced by the last strain event
+        self.last_batch_scores = None  # in-step mask scores (batch_quantile_mask)
+        self.last_batch_mask = None  # the in-step keep mask for those scores
         self._features = None  # cached features for prefilter-style strainers
 
     # ------------------------------------------------------------------ utils

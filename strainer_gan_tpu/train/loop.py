@@ -109,7 +109,7 @@ class Trainer:
             )
         self.engine = StrainerEngine(
             cfg, self.disc, self.dataset, feature_fn=feature_fn,
-            score_batch=64,
+            score_batch=cfg.strain.score_batch,
         )
         # data parallelism (C27): ParallelConfig.dp > 1 (or -1 = all devices)
         # builds a dp mesh, replicates state, and shards each batch; XLA
@@ -285,6 +285,11 @@ class Trainer:
             )
         if mask_on:
             self.logger.log_contamination(epoch, n_filtered_total, n_contam_total)
+        if gate and last_metrics is not None:
+            # last batch's in-step scores + mask, for the runtime parity
+            # report (parity/agreement.py batch_quantile_mask branch)
+            self.engine.last_batch_scores = last_metrics["score_probs"]
+            self.engine.last_batch_mask = last_metrics["keep_mask"]
 
         # periodic FID (`# 1,2,8.py:333-359`: every fid_every_epochs vs the
         # clean-class-only real set, L2-normalized activations variant)

@@ -314,6 +314,12 @@ def _build_step_body(gen, disc, scfg: StepConfig, stem_share: bool = True):
             D_x=d_aux["D_x"], D_G_z1=d_aux["D_G_z1"], D_G_z2=g_aux["D_G_z2"],
             real_loss_per_sample=d_aux["real_loss_per_sample"],
             keep_mask=keep,
+            # the D scores the in-step quantile mask was derived from — fed to
+            # the runtime parity report (parity/agreement.py) so the oracle can
+            # recompute the mask from the same scores with numpy quantile
+            score_probs=(
+                probs_s.astype(jnp.float32) if masked_any else jnp.zeros((b,))
+            ),
             n_contam=n_contam, n_filtered_contam=n_filtered_contam,
         )
         return new_state, metrics

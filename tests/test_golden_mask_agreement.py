@@ -152,3 +152,52 @@ def test_agreement_report_api():
     tr.run()
     rep = agreement_report(tr, epoch=3)
     assert rep and rep["agreement"] >= 0.99, rep
+
+
+def test_agreement_report_batch_mask():
+    """agreement_report on the in-step quantile mask: the device mask's
+    recorded scores re-thresholded with numpy quantile (torch semantics,
+    `# 상위 10%...X.py:283-284`) must agree >= 99%."""
+    import dataclasses
+
+    from strainer_gan_tpu.parity.agreement import agreement_report
+
+    cfg = get_preset("batch_mask")
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, batch_size=16),
+        train=dataclasses.replace(cfg.train, epochs=2, log_every=0),
+        strain=dataclasses.replace(cfg.strain, mask_start_epoch=1),
+        model=dataclasses.replace(cfg.model, compute_dtype="float32"),
+    )
+    tr = Trainer(cfg, max_synth=64)
+    tr.run()
+    rep = agreement_report(tr, epoch=1)
+    assert rep and rep["method"] == "batch_quantile_mask", rep
+    assert rep["n"] == 16
+    assert rep["agreement"] >= 0.99, rep
+
+
+def test_agreement_report_dbscan_runs_sklearn():
+    """agreement_report's zscore_dbscan branch runs the REAL sklearn
+    DBSCAN chain on the cached features (not derived from our own mask)."""
+    import dataclasses
+
+    from strainer_gan_tpu.parity.agreement import agreement_report
+
+    cfg = get_preset("zscore_dbscan")
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, batch_size=8),
+        train=dataclasses.replace(cfg.train, epochs=1, log_every=0),
+        model=dataclasses.replace(cfg.model, compute_dtype="float32"),
+    )
+    key = jax.random.PRNGKey(11)
+
+    def feat(x):
+        flat = x.reshape(x.shape[0], -1)
+        return flat @ jax.random.normal(key, (flat.shape[1], 8))
+
+    tr = Trainer(cfg, feature_fn=feat, max_synth=48)
+    tr.run()
+    rep = agreement_report(tr, epoch=0)
+    assert rep and rep["method"] == "zscore_dbscan", rep
+    assert rep["agreement"] >= 0.99, rep
