@@ -8,9 +8,13 @@ thresholds at the analytic intersection of the two fitted Gaussians
 
 This implementation runs the same EM on device with the same hyperparameters.
 Deviations (documented; sklearn's defaults are nondeterministic):
-* init: sklearn defaults to k-means init with an unseeded RNG.  We initialize
-  the two means deterministically at the 25th/75th percentiles of the data,
-  which converges to the same bimodal split on loss distributions.
+* init: sklearn defaults to k-means init with an unseeded RNG.  We run a
+  deterministic equivalent — Lloyd's algorithm in 1-D seeded at the 25th/75th
+  percentiles, then initialize the mixture from the hard cluster labels
+  exactly as sklearn's ``_initialize`` does.  (A plain quantile-mean init was
+  tried first and diverged from sklearn's optimum at moderate mode separation
+  — 91.8% mask agreement at separation 2σ vs ≥99.7% for this init; see
+  tests/test_thresholds.py::test_gmm_agreement_across_separation_regimes.)
 * tol check: on the change of mean log-likelihood, like sklearn.
 
 Supports a validity mask so the EM runs over only the currently-active subset
@@ -51,14 +55,35 @@ def fit_gmm2(
     w = valid.astype(jnp.float32)
     n = jnp.maximum(jnp.sum(w), 1.0)
 
+    # ---- deterministic k-means init (sklearn init_params="kmeans" analog).
+    # Lloyd's algorithm in 1-D: assignment to the nearer of two means is a
+    # threshold at their midpoint, so each iteration is two masked means.
     m0 = stats.masked_percentile(x, valid, 25.0)
     m1 = stats.masked_percentile(x, valid, 75.0)
-    mean_all = jnp.sum(x * w) / n
-    var_all = jnp.sum(w * (x - mean_all) ** 2) / n + reg_covar
 
+    def lloyd(carry, _):
+        a, b = carry
+        right = x >= (a + b) / 2.0
+        w_r = w * right
+        w_l = w - w_r
+        n_l, n_r = jnp.sum(w_l), jnp.sum(w_r)
+        a2 = jnp.where(n_l > 0, jnp.sum(x * w_l) / jnp.maximum(n_l, 1.0), a)
+        b2 = jnp.where(n_r > 0, jnp.sum(x * w_r) / jnp.maximum(n_r, 1.0), b)
+        return (a2, b2), None
+
+    (m0, m1), _ = jax.lax.scan(lloyd, (m0, m1), None, length=20)
+    # initialize the mixture from the hard labels exactly as sklearn's
+    # GaussianMixture._initialize does (one-hot resp -> M-step statistics)
+    right = (x >= (m0 + m1) / 2.0).astype(jnp.float32)
+    resp0 = jnp.stack([(1.0 - right) * w, right * w], axis=1)
+    nk0 = jnp.sum(resp0, axis=0) + 10.0 * jnp.finfo(jnp.float32).eps
+    means0 = jnp.sum(resp0 * x[:, None], axis=0) / nk0
+    vars0 = (
+        jnp.sum(resp0 * (x[:, None] - means0[None, :]) ** 2, axis=0) / nk0
+        + reg_covar
+    )
     init = (
-        GMM1D(jnp.stack([m0, m1]), jnp.stack([var_all, var_all]),
-              jnp.array([0.5, 0.5])),
+        GMM1D(means0, vars0, nk0 / n),
         jnp.float32(-jnp.inf),  # previous mean log-likelihood
         jnp.int32(0),
         jnp.bool_(False),  # converged
