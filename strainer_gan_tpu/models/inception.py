@@ -191,14 +191,10 @@ def resize_bilinear_299(images: jnp.ndarray) -> jnp.ndarray:
     return jax.image.resize(images, (n, 299, 299, c), method="linear")
 
 
-def load_torch_inception_state_dict(variables, state_dict):
-    """Port torchvision ``inception_v3`` weights (aux/fc ignored).
-
-    torchvision module paths (Conv2d_1a_3x3, ..., Mixed_7c.branch...) are
-    matched to our flax scopes by architecture order within each block; both
-    sides declare branches in the same sequence, so the per-block zip of
-    BasicConv2d units is exact.
-    """
+def inception_name_pairs():
+    """Ordered (flax scope path, torchvision module prefix) pairs for every
+    BasicConv2d unit — shared by the state_dict port and the synthetic-weight
+    fixture generator (models/synth_weights.py)."""
     tv_units = []  # ordered (conv_key_prefix)
     def unit(p):
         tv_units.append(p)
@@ -240,7 +236,17 @@ def load_torch_inception_state_dict(variables, state_dict):
     for scope, n in blocks:
         ours += [(scope, f"BasicConv2d_{i}") for i in range(n)]
     assert len(ours) == len(tv_units), (len(ours), len(tv_units))
+    return list(zip(ours, tv_units))
 
+
+def load_torch_inception_state_dict(variables, state_dict):
+    """Port torchvision ``inception_v3`` weights (aux/fc ignored).
+
+    torchvision module paths (Conv2d_1a_3x3, ..., Mixed_7c.branch...) are
+    matched to our flax scopes by architecture order within each block; both
+    sides declare branches in the same sequence, so the per-block zip of
+    BasicConv2d units is exact.
+    """
     params = jax.tree.map(np.asarray, dict(variables["params"]))
     stats = jax.tree.map(np.asarray, dict(variables["batch_stats"]))
 
@@ -253,7 +259,7 @@ def load_torch_inception_state_dict(variables, state_dict):
         v = state_dict[key]
         return np.asarray(getattr(v, "numpy", lambda: v)(), np.float32)
 
-    for path, tv in zip(ours, tv_units):
+    for path, tv in inception_name_pairs():
         p = node(params, path)
         st = node(stats, path)
         w = arr(tv + ".conv.weight")
