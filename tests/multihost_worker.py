@@ -1,0 +1,75 @@
+"""Worker for the 2-process jax.distributed smoke test (VERDICT r1 #8).
+
+Launched by tests/test_multihost.py as two separate processes, each with 4
+virtual CPU devices.  Exercises the REAL multi-host path: ``multihost
+.initialize`` -> global 8-device mesh spanning both processes -> replicated
+state -> ``put_global_batch`` (make_array_from_process_local_data) -> one
+full dp train step with XLA-inserted cross-process gradient all-reduce.
+Prints the step losses; the launcher asserts both processes print identical
+values (the all-reduce made the update globally consistent).
+"""
+import os
+import sys
+
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(coordinator: str, process_id: int) -> None:
+    import jax
+
+    from strainer_gan_tpu.parallel import multihost
+
+    multihost.initialize(
+        coordinator_address=coordinator, num_processes=2, process_id=process_id
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from strainer_gan_tpu.config import get_preset
+    from strainer_gan_tpu.models import build_models
+    from strainer_gan_tpu.parallel.mesh import (
+        make_mesh, put_global_batch, put_replicated,
+    )
+    from strainer_gan_tpu.train.loop import step_config_from
+    from strainer_gan_tpu.train.state import create_state
+    from strainer_gan_tpu.train.steps import make_train_step
+
+    cfg = get_preset("final")
+    gen, disc = build_models(cfg.model)
+    mesh = make_mesh()  # all 8 global devices
+    state = put_replicated(create_state(cfg, gen, disc, jax.random.PRNGKey(0)), mesh)
+    step = make_train_step(gen, disc, step_config_from(cfg), donate=False, mesh=mesh)
+
+    # per-process local half of a deterministic global batch of 16
+    rng = np.random.default_rng(7)
+    global_batch = rng.integers(0, 256, (16, 64, 64, 3), np.uint8)
+    global_src = (rng.random(16) < 0.2).astype(np.int32)
+    lo, hi = (0, 8) if process_id == 0 else (8, 16)
+    batch = put_global_batch(global_batch[lo:hi], mesh)
+    src = put_global_batch(global_src[lo:hi], mesh)
+
+    new_state, metrics = step(
+        state, batch, src, jax.random.PRNGKey(1),
+        jnp.float32(1e-4), jnp.float32(2e-4),
+        False, jnp.asarray(False), None,
+    )
+    jax.block_until_ready(new_state)
+    # fully-replicated scalars: must be identical on both processes
+    print(
+        f"MULTIHOST_OK pid={process_id} errD={float(metrics['errD']):.6f} "
+        f"errG={float(metrics['errG']):.6f}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]))
