@@ -40,6 +40,8 @@ def main(argv=None):
     ap.add_argument("--dp", type=int, default=None,
                     help="data-parallel devices (-1 = all)")
     ap.add_argument("--eval-samples", type=int, default=500)
+    ap.add_argument("--describe", action="store_true",
+                    help="print the model/memory breakdown and exit")
     args = ap.parse_args(argv)
 
     from .config import PRESETS, ExperimentConfig, get_preset
@@ -77,6 +79,18 @@ def main(argv=None):
     trainer = Trainer(cfg, max_synth=args.max_synth)
     print(f"[strainer] {cfg.name}: dataset n={trainer.dataset.n}, "
           f"params={trainer.state.params_count():,}", flush=True)
+
+    if args.describe:
+        from .utils.trees import dtype_summary, param_count, tree_bytes
+
+        for name, tree in (("G", trainer.state.g_params),
+                           ("D", trainer.state.d_params)):
+            print(f"[strainer] {name}: params={param_count(tree):,} "
+                  f"bytes={tree_bytes(tree):,} dtypes={dtype_summary(tree)}")
+        img = trainer.dataset.images
+        print(f"[strainer] dataset HBM: {img.size * img.dtype.itemsize:,} "
+              f"bytes ({img.shape} {img.dtype})")
+        return 0
 
     start_epoch = 0
     if args.resume:

@@ -159,6 +159,13 @@ class StrainConfig:
     # BN-mode quirk (#clean 분포...py:275; SURVEY §2.4 item 4): scoring passes
     # put D in eval mode and never restore train mode.
     bn_eval_after_score: bool = False
+    # scoring-pass batch size.  The reference scores with DataLoader batch 64
+    # (`# final.py:351`, `#z_score.py:282`); every scoring pass here runs D/the
+    # feature net in eval mode, so per-sample results are batch-size-invariant
+    # and a TPU-friendly batch keeps the MXU full (batch 64 leaves the
+    # per-epoch full-dataset pass ~25% of Trainer wall time; 512 makes it
+    # noise).  Set 64 only if hunting bitwise loader-order artifacts.
+    score_batch: int = 512
 
 
 # ---------------------------------------------------------------------------

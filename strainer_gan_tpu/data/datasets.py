@@ -83,6 +83,12 @@ def resize_bilinear_u8(images: np.ndarray, size: int) -> np.ndarray:
 
 def center_crop(images: np.ndarray, size: int) -> np.ndarray:
     h, w = images.shape[1:3]
+    if images.dtype == np.uint8 and size <= h and size <= w:
+        from .. import native
+
+        out = native.center_crop_u8(images, size)
+        if out is not None:
+            return out
     top = (h - size) // 2
     left = (w - size) // 2
     return images[:, top : top + size, left : left + size]
