@@ -84,5 +84,10 @@ def bench_trainer(preset: str, batch_size: int = 1024,
 
 
 if __name__ == "__main__":
-    for preset in ("batch_mask", "final"):
-        print(json.dumps(bench_trainer(preset)))
+    # batch_mask: steady-state epoch (128 steps) — per-epoch fixed costs
+    # (index build + the handful of bounded scalar fetches, ~5 RTTs) are
+    # measured against a long epoch, as any real run would amortize them.
+    print(json.dumps(bench_trainer("batch_mask", n_synth=131072)))
+    # final: 66k dataset -> 32-step epoch + the full-dataset scoring pass,
+    # comparable epoch shape to the reference's CelebA+CIFAR runs.
+    print(json.dumps(bench_trainer("final", n_synth=66000)))

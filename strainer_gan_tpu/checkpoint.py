@@ -89,7 +89,8 @@ def restore_checkpoint(path: str, trainer, epoch: Optional[int] = None) -> int:
         payload = ckptr.restore(os.path.join(path, f"epoch_{epoch}"), template)
     trainer.state = payload["state"]
     trainer.engine.active = payload["active"]
-    trainer.engine.base_active = payload["base_active"]
+    # _set_base also rebuilds the compacted scoring subset for the base mask
+    trainer.engine._set_base(payload["base_active"])
     trainer.key = payload["key"]
     if "pool" in payload and payload["pool"] is not None:
         trainer.pool = payload["pool"]

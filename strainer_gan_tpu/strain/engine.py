@@ -73,6 +73,7 @@ class StrainerEngine:
         self.last_batch_scores = None  # in-step mask scores (batch_quantile_mask)
         self.last_batch_mask = None  # the in-step keep mask for those scores
         self._features = None  # cached features for prefilter-style strainers
+        self._base_subset = None  # int32 indices of base_active, when it shrank
 
     # ------------------------------------------------------------------ utils
     def _features_full(self) -> jnp.ndarray:
@@ -86,12 +87,36 @@ class StrainerEngine:
             )
         return self._features
 
+    def _set_base(self, mask: jnp.ndarray) -> None:
+        """Record a new permanent base mask + its compacted index subset.
+
+        The subset lets per-epoch loss scoring skip permanently-dropped
+        samples (the reference scores the prefiltered Subset,
+        `# final.py:440-443`); one host fetch of the mask per strain *event*
+        (not per epoch)."""
+        import numpy as np
+
+        self.base_active = mask
+        idx = np.nonzero(np.asarray(mask))[0]
+        self._base_subset = (
+            jnp.asarray(idx, jnp.int32) if len(idx) < self.dataset.n else None
+        )
+
     def _losses(self, state) -> jnp.ndarray:
+        subset = self._base_subset if self.sc.method == "loss_percentile" else None
         losses = SC.score_d_losses(
             self.disc, state.d_params, state.d_stats, self.dataset,
             real_label=self.cfg.train.real_label,
             batch_size=self.score_batch, flatten=self.flatten,
+            subset=subset,
         )
+        if subset is not None:
+            # scatter back to full-size (inactive lanes +inf: they are never
+            # kept and sort last in every threshold)
+            losses = (
+                jnp.full((self.dataset.n,), jnp.inf, jnp.float32)
+                .at[subset].set(losses)
+            )
         if self.sc.bn_eval_after_score:
             self.d_bn_eval = True  # SURVEY §2.4 item 4
         self.last_scores = losses
@@ -129,7 +154,7 @@ class StrainerEngine:
         if not sc.prefilter or sc.method == "none":
             return self.active
         mask = self._zscore_mask()
-        self.base_active = mask
+        self._set_base(mask)
         self.active = mask
         self.last_mask = mask
         return self.active
@@ -155,7 +180,7 @@ class StrainerEngine:
                 return self.active
             if epoch == sc.start_epoch:  # `#z_score.py:309-321`: once, at 3
                 mask = self._zscore_mask()
-                self.base_active = mask
+                self._set_base(mask)
                 self.active = mask
                 self.last_mask = mask
             return self.active

@@ -23,8 +23,29 @@ from ..data.pipeline import DeviceDataset, normalize_u8
 from ..ops import losses as L
 
 
-def _scan_batches(apply_fn: Callable, images_u8: jnp.ndarray, batch_size: int) -> jnp.ndarray:
-    """Run ``apply_fn(batch_normalized) -> (b,) or (b, d)`` over all samples."""
+def _scan_batches(apply_fn: Callable, images_u8: jnp.ndarray, batch_size: int,
+                  subset: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Run ``apply_fn(batch_normalized) -> (b,) or (b, d)`` over all samples.
+
+    With ``subset`` (int32 indices), scores only those samples — each scan
+    step gathers its batch from the HBM dataset, so no compacted copy of the
+    image array is ever materialized.  Returns ``(len(subset), ...)`` scores
+    aligned with ``subset``.
+    """
+    if subset is not None:
+        n = subset.shape[0]
+        nb = -(-n // batch_size)
+        pad = nb * batch_size - n
+        idx = jnp.concatenate([subset, jnp.zeros((pad,), subset.dtype)]) if pad else subset
+        idx = idx.reshape(nb, batch_size)
+
+        def body(_, ib):
+            return _, apply_fn(jnp.take(images_u8, ib, axis=0))
+
+        _, outs = jax.lax.scan(body, None, idx)
+        outs = outs.reshape((nb * batch_size,) + outs.shape[2:])
+        return outs[:n]
+
     n = images_u8.shape[0]
     nb = -(-n // batch_size)
     pad = nb * batch_size - n
@@ -45,12 +66,18 @@ def _scan_batches(apply_fn: Callable, images_u8: jnp.ndarray, batch_size: int) -
 def score_d_losses(
     disc, d_params, d_stats, dataset: DeviceDataset, real_label: float = 1.0,
     batch_size: int = 64, flatten: bool = False,
+    subset: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Per-sample BCE(D(x), real_label) with D in eval mode.
 
     Replicates `refine_dataset_by_loss`'s scoring loop (`# final.py:343-356`)
     and `evaluate_dataset` (`#clean 분포...py:272-287`; that script's BCE is
     over D's (N,1) output then ``.mean(dim=1)`` — identical per-sample value).
+
+    ``subset``: optional int32 indices; scores only those samples (the
+    reference scores the *prefiltered* Subset, `# final.py:440-443` — after
+    a prefilter there is no reason to pay the forward for permanently-dropped
+    samples).  Returns scores aligned with ``subset``.
 
     The forward runs in float32 regardless of the training compute dtype:
     training rides the MXU in bf16, but filtering *decisions* must carry the
@@ -81,8 +108,24 @@ def score_d_losses(
 
             return _scan_batches(apply_fn, images, batch_size)
 
-        _D_SCORE_CACHE[key] = scorer
-    return _D_SCORE_CACHE[key](d_params, d_stats, dataset.images)
+        @jax.jit
+        def scorer_subset(d_params, d_stats, images, subset):
+            def apply_fn(batch_u8):
+                x = normalize_u8(batch_u8, jnp.float32)
+                if flatten:
+                    x = x.reshape(x.shape[0], -1)
+                logits = disc_f32.apply(
+                    {"params": d_params, "batch_stats": d_stats}, x, train=False
+                )
+                return L.bce_from_logits(logits, real_label)
+
+            return _scan_batches(apply_fn, images, batch_size, subset)
+
+        _D_SCORE_CACHE[key] = (scorer, scorer_subset)
+    scorer, scorer_subset = _D_SCORE_CACHE[key]
+    if subset is not None:
+        return scorer_subset(d_params, d_stats, dataset.images, subset)
+    return scorer(d_params, d_stats, dataset.images)
 
 
 _D_SCORE_CACHE = {}

@@ -111,3 +111,39 @@ def test_strain_quality_reporting(fake_feature_fn):
     assert tr.strain_quality, "z-score strain at epoch 3 should be recorded"
     q = tr.strain_quality[-1]
     assert 0.0 <= q["precision"] <= 1.0 and 0.0 <= q["recall"] <= 1.0
+
+
+def test_compacted_scoring_matches_full_scan(fake_feature_fn):
+    """After a prefilter, per-epoch loss scoring runs only over the base
+    subset (engine._base_subset); the resulting mask must equal the full-scan
+    masked-percentile path sample-for-sample."""
+    from strainer_gan_tpu.strain.score import score_d_losses
+    from strainer_gan_tpu.strain.thresholds import percentile_refine_mask
+
+    # z_threshold=2 makes the prefilter actually drop samples on the tiny
+    # synthetic mixture (at the preset's 5.0 nothing exceeds the z bound)
+    cfg = tiny(get_preset("final"), epochs=4, z_threshold=2.0)
+    tr = Trainer(cfg, feature_fn=fake_feature_fn, max_synth=40)
+    tr.run()
+    eng = tr.engine
+    assert eng._base_subset is not None, "prefilter should have shrunk the base"
+
+    # score the CURRENT state through both paths
+    scattered = np.asarray(eng._losses(tr.state))  # subset path
+    full = np.asarray(
+        score_d_losses(
+            tr.disc, tr.state.d_params, tr.state.d_stats, tr.dataset,
+            real_label=cfg.train.real_label, batch_size=eng.score_batch,
+        )
+    )
+    sub = np.asarray(eng._base_subset)
+    np.testing.assert_allclose(scattered[sub], full[sub], atol=2e-6)
+    assert np.all(np.isinf(scattered[np.setdiff1d(np.arange(tr.dataset.n), sub)]))
+
+    from strainer_gan_tpu.train.schedules import clean_ratio_at
+
+    ratio = clean_ratio_at(3, cfg.strain.clean_ratio_schedule)
+    base = jnp.asarray(eng.base_active)
+    mask_a, _ = percentile_refine_mask(jnp.asarray(scattered), ratio, valid=base)
+    mask_b, _ = percentile_refine_mask(jnp.asarray(full), ratio, valid=base)
+    assert np.array_equal(np.asarray(mask_a), np.asarray(mask_b))
