@@ -158,3 +158,45 @@ def test_trainer_chunked_epoch_equals_per_step_epoch():
         t_chunk.epoch_loss_history[0][:8], t_step.epoch_loss_history[0][:8],
         rtol=1e-6,
     )
+
+
+def test_chunked_pool_concat_matches_per_step():
+    """The chunked executor with the pool-concat step config (fake-side
+    forward at 2b, in-step randperm pool sampling) matches per-step
+    execution — same first-step metrics, Adam-tolerance params."""
+    cfg = get_preset("fake_concat")
+    gen, disc = build_models(cfg.model)
+    scfg = step_config_from(cfg)
+    assert scfg.pool_concat
+    state = create_state(cfg, gen, disc, jax.random.PRNGKey(0))
+    b, n = 8, 2
+    data = jax.random.randint(
+        jax.random.PRNGKey(1), (2 * b, 64, 64, 3), 0, 256, jnp.uint8
+    )
+    src = jnp.zeros((2 * b,), jnp.int32)
+    pool = jax.random.randint(
+        jax.random.PRNGKey(7), (5, 64, 64, 3), 0, 256, jnp.uint8
+    )
+    keys = jnp.stack([jax.random.PRNGKey(3), jax.random.PRNGKey(4)])
+    idx = jnp.stack([jnp.arange(b), jnp.arange(b) + b])
+
+    step = make_train_step(gen, disc, scfg, donate=False)
+    st = state
+    per = []
+    for i in range(n):
+        st, m = step(st, jnp.take(data, idx[i], axis=0),
+                     jnp.take(src, idx[i], axis=0), keys[i], LR, LR,
+                     False, jnp.asarray(True), pool)
+        per.append(m)
+
+    cstep = make_chunked_train_step(gen, disc, scfg, donate=False)
+    st_c, mm = cstep(state, data, src, idx, keys, LR, LR, False,
+                     jnp.asarray(True), pool)
+
+    assert float(mm["errD"][0]) == float(per[0]["errD"])
+    assert float(mm["D_G_z1"][0]) == float(per[0]["D_G_z1"])
+    for a, b_ in zip(jax.tree.leaves(st_c.d_params), jax.tree.leaves(st.d_params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            atol=float(n * 2 * 2e-4),
+        )
