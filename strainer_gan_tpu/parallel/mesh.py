@@ -34,6 +34,18 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(
+    dp: int, tp: int, axis_names=("dp", "tp"),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """dp x tp mesh.  Lay tp innermost so its collectives ride the
+    fastest links (adjacent devices; ICI neighbors on real topologies)."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= dp * tp, (len(devices), dp, tp)
+    return Mesh(np.asarray(devices[: dp * tp]).reshape(dp, tp), axis_names)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -64,6 +76,40 @@ def dp_shardings(mesh: Mesh, axis_name: str = "dp"):
         ),
     )
     return in_shardings, out_shardings
+
+
+def tp_sharding_for(leaf, mesh: Mesh, axis_name: str = "tp") -> NamedSharding:
+    """Tensor-parallel sharding spec for one parameter/optimizer-state leaf.
+
+    Shards the output-feature (last) axis of conv/dense kernels and the
+    feature axis of 1-D vectors (BN scale/bias/stats, biases) over
+    ``axis_name`` when divisible by the axis size; replicates otherwise.
+    Output-feature sharding keeps every conv/matmul local (the tp all-reduce
+    happens on the *input*-feature contraction of the NEXT layer, inserted by
+    GSPMD), which is the standard Megatron-style column split.
+    """
+    size = mesh.shape[axis_name]
+    shape = getattr(leaf, "shape", ())
+    if len(shape) >= 2 and shape[-1] % size == 0:
+        return NamedSharding(
+            mesh, P(*([None] * (len(shape) - 1)), axis_name)
+        )
+    if len(shape) == 1 and shape[0] % size == 0:
+        return NamedSharding(mesh, P(axis_name))
+    return NamedSharding(mesh, P())
+
+
+def put_state_tp(state, mesh: Mesh, axis_name: str = "tp"):
+    """Place a GANState with every param/opt/stat leaf tp-sharded (or
+    replicated when indivisible).  Model-parallel forward-compatibility for
+    models that outgrow one chip's HBM; at DCGAN scale this is exercised by
+    ``__graft_entry__.dryrun_multichip`` and tests, not the default path
+    (SURVEY §2.4: no model parallelism *required* by the reference family).
+    """
+    return jax.tree.map(
+        lambda leaf: jax.device_put(leaf, tp_sharding_for(leaf, mesh, axis_name)),
+        state,
+    )
 
 
 def put_global_batch(local_x, mesh: Mesh, axis_name: str = "dp"):

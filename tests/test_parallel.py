@@ -162,3 +162,48 @@ def test_trainer_dp_batch_divisibility_error():
     )
     with pytest.raises(ValueError, match="not divisible"):
         Trainer(cfg, max_synth=64)
+
+
+def test_tp_sharded_step_matches_single_device(setup):
+    """dp x tp (2x2) mesh: Megatron-style output-feature split of every
+    kernel (parallel.mesh.put_state_tp) must reproduce the single-device
+    step within cross-shard reduction tolerance."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from strainer_gan_tpu.parallel.mesh import make_mesh_2d, put_state_tp
+
+    cfg, gen, disc, state, scfg = setup
+    mesh2 = make_mesh_2d(2, 2, devices=jax.devices("cpu")[:4])
+
+    b = 8
+    batch = jax.random.randint(jax.random.PRNGKey(5), (b, 64, 64, 3), 0, 256,
+                               jnp.uint8)
+    src = jnp.zeros((b,), jnp.int32)
+    key = jax.random.PRNGKey(6)
+
+    step1 = make_train_step(gen, disc, scfg, donate=False)
+    s1, m1 = _run(step1, state, batch, src, key)
+
+    state_tp = put_state_tp(state, mesh2)
+    # at least one large kernel must actually be tp-sharded
+    specs = {
+        s.spec for s in jax.tree.leaves(
+            jax.tree.map(lambda l: l.sharding, state_tp.d_params)
+        )
+    }
+    assert any(spec != P() for spec in specs), specs
+    step_tp = make_train_step(gen, disc, scfg, donate=False)
+    batch_s = jax.device_put(batch, NamedSharding(mesh2, P("dp")))
+    src_s = jax.device_put(src, NamedSharding(mesh2, P("dp")))
+    s2, m2 = _run(step_tp, state_tp, batch_s, src_s, key)
+
+    np.testing.assert_allclose(
+        float(m1["errD"]), float(m2["errD"]), rtol=2e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(m1["errG"]), float(m2["errG"]), rtol=2e-3, atol=1e-4
+    )
+    for a, b_ in zip(jax.tree.leaves(s1.g_params), jax.tree.leaves(s2.g_params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32), atol=5e-4
+        )
