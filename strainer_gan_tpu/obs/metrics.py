@@ -99,11 +99,15 @@ class MetricsLogger:
         self._timings.append((now - self._last, 1))
         self._last = now
         if self.log_every and it % self.log_every == 0:
+            # mnist-style prints use only errD/errG — don't pay 3 extra
+            # ~28 ms remote fetches for scalars the format never shows
+            dcgan = self.style == "dcgan"
             self._print_step(
                 epoch, num_epochs, it, steps,
                 float(metrics["errD"]), float(metrics["errG"]),
-                float(metrics["D_x"]), float(metrics["D_G_z1"]),
-                float(metrics["D_G_z2"]),
+                float(metrics["D_x"]) if dcgan else None,
+                float(metrics["D_G_z1"]) if dcgan else None,
+                float(metrics["D_G_z2"]) if dcgan else None,
             )
 
     def log_chunk(self, epoch, num_epochs, it0, steps, metrics: Dict, n: int):
@@ -116,13 +120,15 @@ class MetricsLogger:
         self._timings.append((now - self._last, n))
         self._last = now
         if self.log_every:
+            dcgan = self.style == "dcgan"
             for j in range(n):
                 if (it0 + j) % self.log_every == 0:
                     self._print_step(
                         epoch, num_epochs, it0 + j, steps,
                         float(metrics["errD"][j]), float(metrics["errG"][j]),
-                        float(metrics["D_x"][j]), float(metrics["D_G_z1"][j]),
-                        float(metrics["D_G_z2"][j]),
+                        float(metrics["D_x"][j]) if dcgan else None,
+                        float(metrics["D_G_z1"][j]) if dcgan else None,
+                        float(metrics["D_G_z2"][j]) if dcgan else None,
                     )
 
     def log_strain(self, epoch: int, removed: int, remaining: int):
@@ -140,8 +146,11 @@ class MetricsLogger:
     def summary(self) -> Dict:
         g, d = self._materialize()
         n_steps = sum(n for _, n in self._timings)
-        # skip the first two timed calls (compile + pipeline fill)
-        tail = self._timings[2:]
+        # skip compile/pipeline-fill warmup: two timed calls when there are
+        # enough, degrading gracefully for short/chunked runs (a "call" may
+        # now cover a whole steps_per_dispatch chunk)
+        k = 2 if len(self._timings) > 2 else max(len(self._timings) - 1, 0)
+        tail = self._timings[k:]
         mean_t = (
             sum(dt for dt, _ in tail) / max(sum(n for _, n in tail), 1)
             if tail else 0.0

@@ -34,7 +34,13 @@ def save_score_histogram(
     plt = _plt()
     if plt is None:
         return False
+    # drop non-finite lanes: compacted scoring scatters +inf into
+    # permanently-dropped samples (strain/engine._losses) and np.histogram
+    # raises on an infinite range
     scores = np.asarray(scores)
+    scores = scores[np.isfinite(scores)]
+    if scores.size == 0:
+        return False
     fig, ax = plt.subplots(figsize=(12, 6))
     ax.hist(scores, bins=bins, density=True, alpha=0.7, label="Distribution")
     hist, edges = np.histogram(scores, bins=bins, density=True)

@@ -17,8 +17,14 @@ Maps each StrainConfig.method to the reference's exact schedule:
 |                     | every epoch >= 3 from full   |                               |
 | batch_quantile_mask | inside the train step        | `# 상위 10%...X.py:280-291`   |
 
-The engine never materializes subsets: it maintains boolean masks over the
-full device-resident dataset ("filtering decisions never leave HBM").
+The engine's strain state is boolean masks over the full device-resident
+dataset — the dataset itself is never subset or re-staged, and the *decision*
+masks stay in HBM.  One derived artifact is host-materialized: after a
+permanent base strain (prefilter / one-shot z-score), ``_set_base`` fetches
+the base mask once and keeps its compacted int32 index list so per-epoch
+scoring passes can skip permanently-dropped samples (the scoring scan gathers
+by index from the SAME full-size HBM array; one extra compile per distinct
+base size).
 """
 from __future__ import annotations
 

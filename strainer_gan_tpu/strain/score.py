@@ -95,8 +95,7 @@ def score_d_losses(
         # v5e despite the isolated-forward microbench win — direct convs.)
         disc_f32 = disc.clone(compute_dtype=jnp.float32)
 
-        @jax.jit
-        def scorer(d_params, d_stats, images):
+        def _apply_fn(d_params, d_stats):
             def apply_fn(batch_u8):
                 x = normalize_u8(batch_u8, jnp.float32)
                 if flatten:
@@ -106,20 +105,17 @@ def score_d_losses(
                 )
                 return L.bce_from_logits(logits, real_label)
 
-            return _scan_batches(apply_fn, images, batch_size)
+            return apply_fn
+
+        @jax.jit
+        def scorer(d_params, d_stats, images):
+            return _scan_batches(_apply_fn(d_params, d_stats), images, batch_size)
 
         @jax.jit
         def scorer_subset(d_params, d_stats, images, subset):
-            def apply_fn(batch_u8):
-                x = normalize_u8(batch_u8, jnp.float32)
-                if flatten:
-                    x = x.reshape(x.shape[0], -1)
-                logits = disc_f32.apply(
-                    {"params": d_params, "batch_stats": d_stats}, x, train=False
-                )
-                return L.bce_from_logits(logits, real_label)
-
-            return _scan_batches(apply_fn, images, batch_size, subset)
+            return _scan_batches(
+                _apply_fn(d_params, d_stats), images, batch_size, subset
+            )
 
         _D_SCORE_CACHE[key] = (scorer, scorer_subset)
     scorer, scorer_subset = _D_SCORE_CACHE[key]

@@ -68,6 +68,16 @@ def _cached_train_step(gen, disc, scfg: StepConfig, mesh=None):
     return _STEP_CACHE[key]
 
 
+def _cached_chunked_step(gen, disc, scfg: StepConfig):
+    """Same sharing for the scan-chunked executor — without it every Trainer
+    (the test suite builds dozens with identical configs) would re-trace and
+    recompile the chunked program."""
+    key = ("chunk", id(gen), id(disc), scfg)
+    if key not in _STEP_CACHE:
+        _STEP_CACHE[key] = make_chunked_train_step(gen, disc, scfg)
+    return _STEP_CACHE[key]
+
+
 class Trainer:
     def __init__(
         self,
@@ -216,7 +226,7 @@ class Trainer:
         n_chunked = (steps // chunk) * chunk if chunk > 1 else 0
         if n_chunked:
             if self._chunk_fn is None:
-                self._chunk_fn = make_chunked_train_step(
+                self._chunk_fn = _cached_chunked_step(
                     self.gen, self.disc, self.scfg
                 )
             for c0 in range(0, n_chunked, chunk):
@@ -235,14 +245,18 @@ class Trainer:
                 last_metrics = metrics
                 # fixed-noise grids land on the chunk boundary nearest their
                 # iter (`#%basic.py:300-304` samples mid-epoch; with >1 step
-                # per dispatch the grid reflects up to chunk-1 extra steps)
-                if (
-                    t.sample_every
-                    and self.logger.collect
-                    and any((self._iters + j) % t.sample_every == 0
-                            for j in range(chunk))
-                ):
-                    self.img_list.append(self.sample())
+                # per dispatch the grid reflects up to chunk-1 extra steps).
+                # One grid is appended PER matched sample point so img_list
+                # keeps the reference's frame count — points inside the same
+                # chunk yield identical (boundary-state) frames.
+                if t.sample_every and self.logger.collect:
+                    n_points = sum(
+                        (self._iters + j) % t.sample_every == 0
+                        for j in range(chunk)
+                    )
+                    if n_points:
+                        grid = self.sample()
+                        self.img_list.extend([grid] * n_points)
                 self._iters += chunk
             last_metrics = {k: v[-1] for k, v in last_metrics.items()}
 

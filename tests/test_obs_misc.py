@@ -108,3 +108,18 @@ def test_measure_throughput():
         f, lambda i: (jnp.ones((4,)) * i,), iters=3, warmup=1, items_per_step=4
     )
     assert out["items_per_second"] > 0
+
+
+def test_score_histogram_tolerates_inf_lanes(tmp_path):
+    """Compacted scoring scatters +inf into permanently-dropped lanes
+    (strain/engine._losses); the end-of-run histogram must not crash on them
+    (np.histogram raises on an infinite range)."""
+    from strainer_gan_tpu.obs.plots import save_score_histogram
+
+    scores = np.array([0.1, 0.2, np.inf, 0.3, np.inf], np.float32)
+    ok = save_score_histogram(scores, 0.25, str(tmp_path / "h.png"))
+    # matplotlib present in this env -> plot written; all-inf input degrades
+    assert ok
+    assert not save_score_histogram(
+        np.array([np.inf, np.inf]), None, str(tmp_path / "h2.png")
+    )
