@@ -3,10 +3,14 @@
 Each kernel has a pure-jnp reference implementation; numerical equivalence is
 covered by tests/test_kernels.py (interpret mode on CPU, compiled on TPU).
 
-Dispatch policy (measured on the attached v5e, see git history):
-* ``pairwise`` (DBSCAN neighbor counts) — Pallas wins ~2.4x over the XLA
-  scan by never materializing the distance slab in HBM; it is the default on
-  TPU via ``ops.dbscan.dbscan_non_noise``.
+Dispatch policy (measured on the attached v5e; re-measured round 2):
+* ``pairwise`` (DBSCAN neighbor counts) — the XLA blocked scan WINS by ~30x
+  (41 ms vs 1.3 s at 32k x 128, queue-flushed): XLA fuses the distance-slab
+  compute in-register and never writes it to HBM, so the kernel's one
+  theoretical advantage doesn't materialize on this backend.  The jnp path
+  is the default everywhere; ``STRAINER_DBSCAN_PALLAS=1`` forces the kernel.
+  (A round-1 measurement claimed a 2.4x Pallas win; it did not survive a
+  flush-correct re-measurement on the real chip.)
 * ``zscore`` / ``bce`` — XLA's own fusion of the jnp formulations is already
   slightly FASTER than the hand-written kernels (these ops are small and
   bandwidth-trivial), so the jnp paths stay the default and the kernels are

@@ -60,8 +60,15 @@ def neighbor_counts_pallas(
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        ab = jnp.dot(xi_ref[:], xj_ref[:].T, preferred_element_type=jnp.float32)
-        d2 = sqi_ref[:].T + sqj_ref[:] - 2.0 * ab  # (bm, bn)
+        # contract on the feature dim of BOTH tiles — no in-kernel transpose
+        # (a (bn, dp) tile .T before dot forces a VMEM relayout per tile and
+        # was measured 36x slower than the XLA scan on v5e; dot_general with
+        # rhs contraction keeps the MXU fed directly)
+        ab = jax.lax.dot_general(
+            xi_ref[:], xj_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d2 = sqi_ref[:] + sqj_ref[:] - 2.0 * ab  # (bm,1)+(1,bn) -> (bm, bn)
         hit = (d2 <= eps2).astype(jnp.float32) * wj_ref[:]
         out_ref[:] += jnp.sum(hit, axis=1, keepdims=True)
 
@@ -71,7 +78,7 @@ def neighbor_counts_pallas(
         in_specs=[
             pl.BlockSpec((bm, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
@@ -79,7 +86,7 @@ def neighbor_counts_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_, 1), jnp.float32),
         interpret=interpret,
-    )(x, x, sq.reshape(1, -1), sq.reshape(1, -1), w.reshape(1, -1))
+    )(x, x, sq.reshape(-1, 1), sq.reshape(1, -1), w.reshape(1, -1))
     return counts[:n, 0]
 
 

@@ -53,11 +53,17 @@ def dbscan_non_noise(
 ) -> jnp.ndarray:
     """Boolean (N,) mask: True where DBSCAN would label the point != -1.
 
-    On TPU this dispatches to the Pallas blocked neighbor-count kernel
-    (kernels.pairwise — no HBM distance materialization, ~2.4x faster);
-    elsewhere the jnp scan below runs.
+    Dispatch: the blocked XLA scan below, on every backend.  The Pallas
+    neighbor-count kernel (kernels.pairwise) was re-measured on the attached
+    v5e in round 2 and LOSES by ~30x (41 ms vs 1.3 s at 32k x 128; 49 ms vs
+    1.7 s at 16k x 512, queue-flushed timing) — XLA's scan already fuses the
+    distance-slab compute and never round-trips it to HBM.  Set
+    ``STRAINER_DBSCAN_PALLAS=1`` to force the kernel (kept as a verified
+    template; see kernels/__init__.py for the dispatch policy record).
     """
-    if jax.default_backend() == "tpu":
+    import os
+
+    if jax.default_backend() == "tpu" and os.environ.get("STRAINER_DBSCAN_PALLAS"):
         from ..kernels.pairwise import dbscan_non_noise_pallas
 
         return dbscan_non_noise_pallas(features, float(eps), min_samples, valid)
