@@ -176,12 +176,25 @@ def _load_image_folder(names) -> Optional[ArrayDataset]:
             if f.lower().endswith((".jpg", ".jpeg", ".png")):
                 paths.append(os.path.join(root, f))
     paths.sort()
-    imgs = []
-    for fp in paths:
+
+    def decode(fp):
         try:  # corrupt-image skip, like the anime loader (#strainer gan.py:100-104)
-            imgs.append(np.asarray(Image.open(fp).convert("RGB")))
+            return np.asarray(Image.open(fp).convert("RGB"))
         except Exception:
-            continue
+            return None
+
+    # PIL releases the GIL during decode, so a thread pool gives near-linear
+    # staging speedup on a 200k-image CelebA directory; order is preserved
+    # (map) so dataset composition matches the serial loader exactly.
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = min(os.cpu_count() or 1, 16)
+    if len(paths) > 64 and workers > 1:
+        with ThreadPoolExecutor(workers) as pool:
+            decoded = list(pool.map(decode, paths, chunksize=64))
+    else:
+        decoded = [decode(fp) for fp in paths]
+    imgs = [im for im in decoded if im is not None]
     if not imgs:
         return None
     # images may be ragged; resize each to its shorter-side-64 crop later.

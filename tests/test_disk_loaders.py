@@ -97,3 +97,20 @@ def test_image_folder_loader_skips_corrupt(data_root):
     assert len(ds) == n  # the corrupt file was skipped
     # Resize(shorter=64) + CenterCrop(64) of 80x64 -> 64x64
     assert ds.images.shape == (n, 64, 64, 3)
+
+
+def test_image_folder_threaded_matches_serial_order(data_root):
+    """>64 files takes the thread-pool decode branch; composition and order
+    must be identical to the serial path (pool.map preserves order, corrupt
+    files skipped in place)."""
+    root, rng = data_root
+    n = write_image_folder(root, rng, n=70, size=(64, 64))
+    ds = D.load_source(SourceSpec("celeba"), 64, 3, seed=0)
+    assert len(ds) == n
+    assert ds.images.shape == (n, 64, 64, 3)
+    # spot-check order: file i must land at row i (sorted path order)
+    from PIL import Image
+
+    p = root / "celeba" / "images" / "007.png"
+    want = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(ds.images[7], want)
