@@ -115,3 +115,40 @@ def test_fid_full_chain_fixture(fx, inception_feature_fn):
     want = float(fx["fid_value"])
     assert np.isfinite(got)
     np.testing.assert_allclose(got, want, rtol=2e-2)
+
+
+def test_validate_staged_weights_script(tmp_path):
+    """scripts/validate_staged_weights.py: a staged synthetic resnet18
+    checkpoint validates (rc 0, coverage+finiteness+forward checks), and a
+    missing file fails cleanly (rc 1)."""
+    import subprocess
+    import sys
+
+    torch = pytest.importorskip("torch")
+    from strainer_gan_tpu.models.resnet import resnet18_features
+    from strainer_gan_tpu.models.synth_weights import synth_resnet_state_dict
+
+    m = resnet18_features(3)
+    v = m.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3)))
+    sd = {k: torch.from_numpy(x) for k, x in synth_resnet_state_dict(v).items()}
+    torch.save(sd, tmp_path / "resnet18.pt")
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "scripts",
+        "validate_staged_weights.py",
+    )
+    env = dict(os.environ, STRAINER_WEIGHTS_DIR=str(tmp_path),
+               PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    ok = subprocess.run(
+        [sys.executable, script, "resnet18"],
+        capture_output=True, text=True, env=env, timeout=500,
+    )
+    assert ok.returncode == 0, ok.stderr
+    assert "loaded 100 tensors" in ok.stdout
+
+    missing = subprocess.run(
+        [sys.executable, script, "resnet50"],
+        capture_output=True, text=True, env=env, timeout=500,
+    )
+    assert missing.returncode == 1
+    assert "no staged file" in missing.stderr
