@@ -66,7 +66,11 @@ def bench_trainer(preset: str, batch_size: int = 1024,
     tr = Trainer(cfg, logger=logger, dataset=DeviceDataset(mix))
     tr.setup()
     # warmup epoch: compiles the chunked + remainder programs
-    tr.run_epoch(0)
+    info0 = tr.run_epoch(0)
+    # drain the dispatch queue BEFORE starting the clock (CLAUDE.md: flush
+    # with a scalar fetch before and after the timed loop) — without this the
+    # warmup epoch's async tail executes inside the timed window
+    _ = float(info0["last"]["errD"]) if info0["last"] is not None else None
 
     t0 = time.perf_counter()
     info = tr.run_epoch(1)

@@ -191,7 +191,7 @@ def _load_image_folder(names) -> Optional[ArrayDataset]:
     workers = min(os.cpu_count() or 1, 16)
     if len(paths) > 64 and workers > 1:
         with ThreadPoolExecutor(workers) as pool:
-            decoded = list(pool.map(decode, paths, chunksize=64))
+            decoded = list(pool.map(decode, paths))
     else:
         decoded = [decode(fp) for fp in paths]
     imgs = [im for im in decoded if im is not None]

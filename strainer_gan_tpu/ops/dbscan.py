@@ -63,7 +63,10 @@ def dbscan_non_noise(
     """
     import os
 
-    if jax.default_backend() == "tpu" and os.environ.get("STRAINER_DBSCAN_PALLAS"):
+    force_pallas = os.environ.get("STRAINER_DBSCAN_PALLAS", "").lower() in (
+        "1", "true", "yes"
+    )
+    if jax.default_backend() == "tpu" and force_pallas:
         from ..kernels.pairwise import dbscan_non_noise_pallas
 
         return dbscan_non_noise_pallas(features, float(eps), min_samples, valid)

@@ -63,6 +63,18 @@ def agreement_report(trainer, epoch: Optional[int] = None) -> Dict:
             feats, sc.dbscan_eps, sc.dbscan_min_samples
         )
         want, _ = oracle.zscore_quantile_mask(feats, ratio, sc.z_std_mode)
+        # zero-variance feature dims make the torch-exact oracle NaN every
+        # z-score (0/0) and drop ALL samples — cannot happen with pretrained
+        # backbone weights, but random-init fallback backbones can have dead
+        # dims; the device intentionally maps them to z=0 (PARITY.md).  Tag
+        # the report so a low number in that synthetic regime is explainable.
+        n_dead = int((feats.std(axis=0, ddof=1) == 0.0).sum())
+        extra = {"degenerate_dims": n_dead} if n_dead else {}
+        agree = oracle.mask_agreement(ours, want)
+        return dict(
+            method=method, agreement=agree, ours_kept=int(ours.sum()),
+            oracle_kept=int(np.asarray(want).sum()), n=len(ours), **extra,
+        )
     elif method == "loss_percentile":
         base = np.asarray(eng.base_active)
         ratio = None

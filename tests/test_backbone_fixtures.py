@@ -22,13 +22,13 @@ import pytest
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "backbones.npz")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(FIXTURE), reason="fixtures/backbones.npz not generated"
-)
-
 
 @pytest.fixture(scope="module")
 def fx():
+    # fixture-dependent tests skip without the npz; the validator-script test
+    # below fabricates its own checkpoint and runs regardless
+    if not os.path.exists(FIXTURE):
+        pytest.skip("fixtures/backbones.npz not generated")
     return np.load(FIXTURE)
 
 
@@ -72,7 +72,7 @@ def test_resnet50_fixture(fx):
 
 
 @pytest.fixture(scope="module")
-def inception_feature_fn():
+def inception_feature_fn(fx):
     from strainer_gan_tpu.models.inception import (
         InceptionV3Features,
         load_torch_inception_state_dict,
@@ -146,9 +146,15 @@ def test_validate_staged_weights_script(tmp_path):
     assert ok.returncode == 0, ok.stderr
     assert "loaded 100 tensors" in ok.stdout
 
+    # missing-file path: run from tmp_path so the ./weights fallback cannot
+    # resolve to a production-staged checkpoint; skip the assertion if the
+    # absolute fallback dir actually has one staged
+    if os.path.exists("/root/data/weights/resnet50.pt"):
+        pytest.skip("production resnet50 weights staged on this machine")
     missing = subprocess.run(
         [sys.executable, script, "resnet50"],
         capture_output=True, text=True, env=env, timeout=500,
+        cwd=str(tmp_path),
     )
     assert missing.returncode == 1
     assert "no staged file" in missing.stderr
