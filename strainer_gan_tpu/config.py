@@ -197,9 +197,11 @@ class TrainConfig:
     # scan-fused steps per device dispatch (train/steps.py
     # make_chunked_train_step).  >1 removes per-step dispatch overhead and
     # host syncs (~5% throughput on a remote-attached chip); 1 restores
-    # step-at-a-time execution.  Epoch remainders (steps % chunk) and dp-mesh
-    # runs always use the per-step path.
-    steps_per_dispatch: int = 8
+    # step-at-a-time execution.  Epoch/segment remainders (< chunk) use the
+    # per-step path; fixed-noise sample points cut segments exactly, so
+    # chunking never changes img_list frames.  32 matches the published
+    # bench config (bench.py, scripts/bench_trainer.py).
+    steps_per_dispatch: int = 32
 
 
 @dataclass(frozen=True)

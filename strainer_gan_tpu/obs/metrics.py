@@ -27,6 +27,15 @@ import numpy as np
 
 
 class MetricsLogger:
+    """Step/chunk logger with device-buffered loss histories.
+
+    ``G_losses`` / ``D_losses`` / ``step_times`` are READ-ONLY views: each
+    access returns a freshly-built list materialized from the device buffers
+    (mutating or caching the returned list has no effect on the logger, and
+    each property read re-runs a fused device fetch — hold the result in a
+    local if you need it more than once).
+    """
+
     def __init__(self, log_every: int = 50, style: str = "dcgan",
                  stream=None, collect: bool = True):
         self.log_every = log_every

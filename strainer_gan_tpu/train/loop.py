@@ -174,6 +174,17 @@ class Trainer:
         cfg, s, t = self.cfg, self.cfg.strain, self.cfg.train
         self.key, k_strain, k_perm, k_steps = jax.random.split(self.key, 4)
 
+        # stale-state guard: without this, a gate-off epoch would leave the
+        # previous gated epoch's in-step scores in place and the parity
+        # report's batch_quantile_mask branch would silently use them
+        if not (
+            s.method == "batch_quantile_mask" and epoch >= s.mask_start_epoch
+        ) and not (
+            s.fake_concat == "in_batch" and epoch >= s.fake_concat_start_epoch
+        ):
+            self.engine.last_batch_scores = None
+            self.engine.last_batch_mask = None
+
         prev_active = self.engine.active
         active = self.engine.on_epoch_start(epoch, self.state, k_strain)
         self.mask_history.append(np.asarray(active))
@@ -218,49 +229,10 @@ class Trainer:
         contam_parts = []  # device scalars / (chunk,) arrays
         filtered_parts = []
         last_metrics = None
+        last_was_chunk = False
 
-        # scan-chunked execution (steps_per_dispatch steps per device
-        # dispatch; see make_chunked_train_step).  The dp-mesh path stays
-        # per-step (its shardings are declared on per-batch arguments).
-        chunk = 1 if self.mesh is not None else max(1, t.steps_per_dispatch)
-        n_chunked = (steps // chunk) * chunk if chunk > 1 else 0
-        if n_chunked:
-            if self._chunk_fn is None:
-                self._chunk_fn = _cached_chunked_step(
-                    self.gen, self.disc, self.scfg
-                )
-            for c0 in range(0, n_chunked, chunk):
-                sl = slice(c0, c0 + chunk)
-                self.state, metrics = self._chunk_fn(
-                    self.state, self.dataset.images, self.dataset.source_id,
-                    idx[sl], step_keys[sl], lr_g, lr_d, gate, concat_gate,
-                    self.pool, d_train,
-                )
-                self.logger.log_chunk(epoch, t.epochs, c0, steps, metrics, chunk)
-                if mask_on:
-                    contam_parts.append(metrics["n_contam"])
-                    filtered_parts.append(metrics["n_filtered_contam"])
-                if self.logger.collect:
-                    loss_parts.append(metrics["real_loss_per_sample"])
-                last_metrics = metrics
-                # fixed-noise grids land on the chunk boundary nearest their
-                # iter (`#%basic.py:300-304` samples mid-epoch; with >1 step
-                # per dispatch the grid reflects up to chunk-1 extra steps).
-                # One grid is appended PER matched sample point so img_list
-                # keeps the reference's frame count — points inside the same
-                # chunk yield identical (boundary-state) frames.
-                if t.sample_every and self.logger.collect:
-                    n_points = sum(
-                        (self._iters + j) % t.sample_every == 0
-                        for j in range(chunk)
-                    )
-                    if n_points:
-                        grid = self.sample()
-                        self.img_list.extend([grid] * n_points)
-                self._iters += chunk
-            last_metrics = {k: v[-1] for k, v in last_metrics.items()}
-
-        for i in range(n_chunked, steps):
+        def run_one(i):
+            nonlocal last_metrics, last_was_chunk
             batch = self.dataset.gather(idx[i])
             src = jnp.take(self.dataset.source_id, idx[i], axis=0)
             if self.mesh is not None:
@@ -279,14 +251,60 @@ class Trainer:
             if self.logger.collect:
                 loss_parts.append(metrics["real_loss_per_sample"])
             last_metrics = metrics
-            # fixed-noise grid every sample_every iters (`#%basic.py:300-304`)
-            if (
-                t.sample_every
-                and self.logger.collect
-                and self._iters % t.sample_every == 0
-            ):
+            last_was_chunk = False
+
+        def run_chunk(c0, n):
+            nonlocal last_metrics, last_was_chunk
+            sl = slice(c0, c0 + n)
+            self.state, metrics = self._chunk_fn(
+                self.state, self.dataset.images, self.dataset.source_id,
+                idx[sl], step_keys[sl], lr_g, lr_d, gate, concat_gate,
+                self.pool, d_train,
+            )
+            self.logger.log_chunk(epoch, t.epochs, c0, steps, metrics, n)
+            if mask_on:
+                contam_parts.append(metrics["n_contam"])
+                filtered_parts.append(metrics["n_filtered_contam"])
+            if self.logger.collect:
+                loss_parts.append(metrics["real_loss_per_sample"])
+            last_metrics = metrics
+            last_was_chunk = True
+
+        # Scan-chunked execution (steps_per_dispatch steps per device
+        # dispatch; see make_chunked_train_step), segmented so that every
+        # fixed-noise sample point is hit EXACTLY: the epoch's [0, steps) is
+        # split into segments ending right after each sample-point iteration
+        # (`#%basic.py:300-304` samples per-iter mid-epoch); each segment
+        # runs as full chunks plus a per-step remainder.  Only two compiled
+        # shapes exist (`chunk` and single-step); the per-step remainder is
+        # at most chunk-1 steps per sample point.  The dp-mesh path stays
+        # per-step for now (its shardings are declared on per-batch args).
+        chunk = 1 if self.mesh is not None else max(1, t.steps_per_dispatch)
+        sampling = bool(t.sample_every and self.logger.collect)
+        if chunk > 1 and steps >= chunk and self._chunk_fn is None:
+            self._chunk_fn = _cached_chunked_step(self.gen, self.disc, self.scfg)
+        pos = 0
+        while pos < steps:
+            if sampling:
+                # next step index whose global iter is a sample point
+                until = (-(self._iters + pos)) % t.sample_every
+                boundary = min(pos + until + 1, steps)
+                sample_here = pos + until < steps
+            else:
+                boundary, sample_here = steps, False
+            n_seg = boundary - pos
+            if chunk > 1:
+                for _ in range(n_seg // chunk):
+                    run_chunk(pos, chunk)
+                    pos += chunk
+            while pos < boundary:
+                run_one(pos)
+                pos += 1
+            if sample_here:
                 self.img_list.append(self.sample())
-            self._iters += 1
+        self._iters += steps
+        if last_was_chunk:
+            last_metrics = {k: v[-1] for k, v in last_metrics.items()}
 
         n_contam_total = n_filtered_total = 0
         if mask_on and contam_parts:

@@ -160,6 +160,40 @@ def test_trainer_chunked_epoch_equals_per_step_epoch():
     )
 
 
+def test_sampling_exact_under_chunking():
+    """Fixed-noise grids must be captured at the EXACT sample-point
+    iterations under chunked execution (`#%basic.py:300-304` samples
+    per-iter): the segment scheduler cuts each chunk at sample points, so
+    a chunked run produces the same frames (count AND content, to Adam
+    tolerance) as step-at-a-time execution — no chunk-boundary duplicates."""
+    import dataclasses
+
+    base = get_preset("batch_mask")
+
+    def run(spd):
+        cfg = base.replace(
+            data=dataclasses.replace(base.data, batch_size=8),
+            train=dataclasses.replace(
+                base.train, epochs=1, log_every=0, steps_per_dispatch=spd,
+                sample_every=5,
+            ),
+            strain=dataclasses.replace(base.strain, mask_start_epoch=0),
+        )
+        tr = Trainer(cfg, max_synth=72)  # 9 steps: captures at iters 0 and 5
+        tr.run(1)
+        return tr
+
+    t_chunk = run(4)  # segments [0], [1..5], [6..8] -> chunk+per-step mix
+    t_step = run(1)
+    assert len(t_chunk.img_list) == len(t_step.img_list) == 2
+    # frames at the same iters from near-identical params (Adam tolerance)
+    for a, b in zip(t_chunk.img_list, t_step.img_list):
+        np.testing.assert_allclose(a, b, atol=0.1)
+    # distinct capture points produce distinct frames (the pre-fix behavior
+    # duplicated the chunk-boundary state across in-chunk sample points)
+    assert np.abs(t_chunk.img_list[0] - t_chunk.img_list[1]).max() > 1e-5
+
+
 def test_chunked_pool_concat_matches_per_step():
     """The chunked executor with the pool-concat step config (fake-side
     forward at 2b, in-step randperm pool sampling) matches per-step
