@@ -166,6 +166,25 @@ class StrainConfig:
     # per-epoch full-dataset pass ~25% of Trainer wall time; 512 makes it
     # noise).  Set 64 only if hunting bitwise loader-order artifacts.
     score_batch: int = 512
+    # loss_percentile scoring precision (strain/score.fused_percentile_refine):
+    #   "band_bf16": bf16 bulk scoring + exact-f32 re-score of the samples
+    #     within band_eps of the percentile threshold — mask provably equals
+    #     the all-f32 mask (equivalence pinned in tests/test_band_scoring.py;
+    #     drift margins quantified by scripts/tolerance_analysis.py), at a
+    #     fraction of the scoring cost.  In-graph fallback to full f32 if the
+    #     band overflows band_capacity_frac of the scored set.
+    #   "f32": legacy full-f32 scoring pass (strain/score.score_d_losses).
+    # GMM/ensemble deciders always score f32 (their thresholds depend on the
+    # whole loss distribution, not an order statistic — no band exactness).
+    score_precision: str = "band_bf16"
+    # band half-width RELATIVE to the decision value (eps * max(1, |thr|)):
+    # bf16 drift is mantissa-relative; measured normalized drift p100 is
+    # 0.0072 on CPU / ~4e-4 on v5e (scripts/tolerance_analysis.py), so
+    # eps/2 = 0.025 carries >=3.5x margin.  Capacity 1/16 of the scored set
+    # bounds the f32 re-score cost; the in-graph full-f32 fallback guards
+    # overflow.
+    band_eps: float = 0.05
+    band_capacity_frac: float = 0.0625
 
 
 # ---------------------------------------------------------------------------

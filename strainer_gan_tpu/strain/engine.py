@@ -78,6 +78,7 @@ class StrainerEngine:
         self.last_mask = None  # the mask produced by the last strain event
         self.last_batch_scores = None  # in-step mask scores (batch_quantile_mask)
         self.last_batch_mask = None  # the in-step keep mask for those scores
+        self.last_band_stats = None  # [n_band, overflowed, max_drift] (band path)
         self._features = None  # cached features for prefilter-style strainers
         self._base_subset = None  # int32 indices of base_active, when it shrank
 
@@ -210,16 +211,32 @@ class StrainerEngine:
             return self.active
 
         if m == "loss_percentile" and epoch >= sc.start_epoch:
-            losses = self._losses(state)
             if sc.final_py_ratio_inversion:
                 # quirk #1 (`# final.py:443`): clean_ratio passed AS loss_ratio
-                ratio = clean_ratio_at(epoch, sc.clean_ratio_schedule)
-                loss_ratio = ratio
+                loss_ratio = clean_ratio_at(epoch, sc.clean_ratio_schedule)
             else:
                 loss_ratio = sc.loss_ratio
-            mask, thr = TH.percentile_refine_mask(
-                losses, loss_ratio, valid=self.base_active
-            )
+            if sc.score_precision == "band_bf16":
+                # one fused dispatch: bf16 bulk scoring + exact-f32 band
+                # re-score + threshold + mask (see fused_percentile_refine)
+                mask, thr, losses, band_stats = SC.fused_percentile_refine(
+                    self.disc, state.d_params, state.d_stats, self.dataset,
+                    loss_ratio, valid=self.base_active,
+                    real_label=self.cfg.train.real_label,
+                    batch_size=self.score_batch, flatten=self.flatten,
+                    subset=self._base_subset,
+                    band_eps=sc.band_eps,
+                    band_capacity_frac=sc.band_capacity_frac,
+                )
+                if sc.bn_eval_after_score:
+                    self.d_bn_eval = True  # SURVEY §2.4 item 4
+                self.last_scores = losses
+                self.last_band_stats = band_stats  # device (3,) f32
+            else:
+                losses = self._losses(state)
+                mask, thr = TH.percentile_refine_mask(
+                    losses, loss_ratio, valid=self.base_active
+                )
             self.last_threshold = thr
             self.active = mask
             self.last_mask = mask

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import dbscan as DB
@@ -125,19 +126,36 @@ def percentile_refine_mask(
 
     thr = percentile(losses_of_valid, (1-loss_ratio)*100); keep loss < thr;
     if the kept set is empty fall back to the bottom half (>=1 sample).
+
+    One argsort serves both the percentile (gather-sorted values interpolated
+    at the same positions masked_percentile uses — identical result) and the
+    fallback ranks; a 66k-sample sort is ~15 ms on a v5e chip and this runs
+    inside the per-epoch fused strain program, so redundant sorts are real
+    wall time.
     """
     ratio = jnp.asarray(loss_ratio, jnp.float32)
     q = (1.0 - ratio) * 100.0
     if valid is None:
         valid = jnp.ones(losses.shape, bool)
-    thr = S.masked_percentile(losses, valid, q)
+    n = losses.shape[0]
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+    masked = jnp.where(valid, losses, big)
+    order = jnp.argsort(masked)
+    xs = masked[order]  # == jnp.sort(masked)
+    n_valid = jnp.sum(valid)
+    # interpolation positions exactly as ops.stats.masked_percentile
+    pos = jnp.asarray(q, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    pos = pos / 100.0 * jnp.maximum(n_valid - 1, 0)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = pos - lo
+    x_lo = xs[jnp.clip(lo, 0, n - 1)]
+    x_hi = xs[jnp.clip(hi, 0, n - 1)]
+    thr = x_lo + (x_hi - x_lo) * frac
     mask = jnp.logical_and(losses < thr, valid)
 
-    n_valid = jnp.sum(valid)
     n_kept = jnp.sum(mask)
-    # fallback: bottom 50% by argsort (`# final.py:365-367`)
-    big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
-    order = jnp.argsort(jnp.where(valid, losses, big))
+    # fallback: bottom 50% by rank (`# final.py:365-367`)
     rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
     half = jnp.maximum(n_valid // 2, 1)
     fallback = jnp.logical_and(rank < half, valid)
