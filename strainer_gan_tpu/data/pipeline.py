@@ -64,6 +64,44 @@ class DeviceDataset:
         self.n = mixture.images.shape[0]
         self.image_shape = mixture.images.shape[1:]
 
+    @classmethod
+    def from_process_local(cls, local_mixture: Mixture, mesh,
+                           axis_name: str = "dp") -> "DeviceDataset":
+        """Multi-host staging (C27 DCN side): each process stages ONLY its
+        local sample shard; the returned dataset's arrays are one GLOBAL
+        jax.Array sharded over ``axis_name`` (samples), assembled with
+        ``jax.make_array_from_process_local_data``.  In-scan gathers then
+        ride GSPMD collectives (DCN between hosts) — correct at any scale,
+        chosen over replication so no host ever loads the full dataset.
+        """
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(axis_name))
+        self = cls.__new__(cls)
+        self.images = jax.make_array_from_process_local_data(
+            sh, np.asarray(local_mixture.images)
+        )
+        self.source_id = jax.make_array_from_process_local_data(
+            sh, np.asarray(local_mixture.source_id)
+        )
+        self.labels = jnp.asarray(local_mixture.labels)  # local (eval-only)
+        self.n = self.images.shape[0]
+        self.image_shape = self.images.shape[1:]
+        return self
+
+    def put_on_mesh(self, mesh) -> None:
+        """Re-place the HBM arrays replicated over a dp mesh (in place, so
+        a StrainerEngine holding this dataset sees the move).  Replication
+        keeps every in-scan gather local to its device; CelebA-64 uint8
+        (~3 GB) fits per chip, so sample-sharding is not worth the gather
+        collectives it would force (parallel/mesh.dp_chunked_shardings)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        self.images = jax.device_put(self.images, rep)
+        self.source_id = jax.device_put(self.source_id, rep)
+
     def steps_per_epoch(self, active: Optional[jnp.ndarray], batch_size: int,
                         drop_last: bool = True) -> int:
         n_active = self.n if active is None else int(jnp.sum(active))

@@ -78,6 +78,39 @@ def dp_shardings(mesh: Mesh, axis_name: str = "dp"):
     return in_shardings, out_shardings
 
 
+def dp_chunked_shardings(mesh: Mesh, axis_name: str = "dp",
+                         data_sharded: bool = False):
+    """(in_shardings, out_shardings) for the scan-chunked executor
+    (``train.steps.make_chunked_train_step``) under a dp mesh.
+
+    The HBM dataset and state are replicated; the per-chunk index matrix is
+    sharded along its BATCH axis, so each device gathers its own batch shard
+    locally inside the scan (no cross-device data movement) and the step
+    runs exactly as the per-step dp path — XLA inserts the gradient
+    all-reduce.  Dynamic args (mask_on at 7 / d_train at 10 are static):
+    (state, data_u8, source_id_all, idx, keys, lr_g, lr_d, concat_on, pool).
+    Stacked per-sample metrics come back sharded along their batch axis.
+
+    ``data_sharded``: the HBM dataset is sample-sharded over ``axis_name``
+    (multi-host staging, DeviceDataset.from_process_local) instead of
+    replicated — the in-scan gather then goes through GSPMD collectives.
+    """
+    rep = replicated(mesh)
+    bat2 = NamedSharding(mesh, P(None, axis_name))  # (chunk, batch) / (chunk, b)
+    data_sh = NamedSharding(mesh, P(axis_name)) if data_sharded else rep
+    in_shardings = (rep, data_sh, data_sh, bat2, rep, rep, rep, rep, rep)
+    out_shardings = (
+        rep,
+        dict(
+            errD=rep, errG=rep, errD_real=rep, errD_fake=rep,
+            D_x=rep, D_G_z1=rep, D_G_z2=rep,
+            real_loss_per_sample=bat2, keep_mask=bat2, score_probs=bat2,
+            n_contam=rep, n_filtered_contam=rep,
+        ),
+    )
+    return in_shardings, out_shardings
+
+
 def tp_sharding_for(leaf, mesh: Mesh, axis_name: str = "tp") -> NamedSharding:
     """Tensor-parallel sharding spec for one parameter/optimizer-state leaf.
 

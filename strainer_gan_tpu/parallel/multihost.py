@@ -36,10 +36,16 @@ def initialize(
         # single-process run: nothing to do
         initialize._done = True
         return
+    # `is not None` (NOT `or`): an explicit process_id=0 is falsy and must
+    # not fall through to a possibly-stale PROCESS_ID env var
+    if num_processes is None:
+        num_processes = int(os.environ.get("NUM_PROCESSES", 1))
+    if process_id is None:
+        process_id = int(os.environ.get("PROCESS_ID", 0))
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes or int(os.environ.get("NUM_PROCESSES", 1)),
-        process_id=process_id or int(os.environ.get("PROCESS_ID", 0)),
+        num_processes=num_processes,
+        process_id=process_id,
     )
     initialize._done = True
 

@@ -7,10 +7,13 @@ and drives the per-epoch schedule exactly as the reference scripts do
 
 The whole batch loop runs as jitted steps over device-resident data —
 ``steps_per_dispatch`` of them per device dispatch via the scan-chunked
-executor.  Per-epoch host crossings: the surviving-sample count (one scalar,
-to fix the step count), the epoch-end contamination/loss-history fetches
-(one each), and the bounded ``log_every`` console prints; per-step metric
-collection stays on device (obs.metrics buffers device arrays).
+executor, which also carries dp-mesh runs (state/dataset replicated, batch
+axis sharded; remainders execute as length-1 chunks).  Per-epoch host
+crossings: ONE packed strain-stats fetch (step count + strain accounting,
+identity-cached while the mask is unchanged), the epoch-end
+contamination/loss-history fetches (one each), and the bounded
+``log_every`` console prints; per-step metric collection stays on device
+(obs.metrics buffers device arrays).
 """
 from __future__ import annotations
 
@@ -58,6 +61,20 @@ def step_config_from(cfg: ExperimentConfig) -> StepConfig:
 _STEP_CACHE = {}
 
 
+@jax.jit
+def _epoch_stats(active, source_id):
+    """[n_active, true-positive removals, n_contaminants] — everything the
+    epoch driver needs from the strain mask, packed so the host pays ONE
+    ~28 ms remote fetch per strain event instead of four."""
+    contam = source_id != 0
+    dropped = jnp.logical_not(active)
+    return jnp.stack([
+        jnp.sum(active),
+        jnp.sum(jnp.logical_and(dropped, contam)),
+        jnp.sum(contam),
+    ]).astype(jnp.int32)
+
+
 def _cached_train_step(gen, disc, scfg: StepConfig, mesh=None):
     """One compiled step per (model pair, step config, mesh): build_models
     memoizes module instances, so equal experiment configs share the jit
@@ -68,13 +85,17 @@ def _cached_train_step(gen, disc, scfg: StepConfig, mesh=None):
     return _STEP_CACHE[key]
 
 
-def _cached_chunked_step(gen, disc, scfg: StepConfig):
+def _cached_chunked_step(gen, disc, scfg: StepConfig, mesh=None,
+                         data_sharded: bool = False):
     """Same sharing for the scan-chunked executor — without it every Trainer
     (the test suite builds dozens with identical configs) would re-trace and
     recompile the chunked program."""
-    key = ("chunk", id(gen), id(disc), scfg)
+    key = ("chunk", id(gen), id(disc), scfg,
+           id(mesh) if mesh is not None else None, data_sharded)
     if key not in _STEP_CACHE:
-        _STEP_CACHE[key] = make_chunked_train_step(gen, disc, scfg)
+        _STEP_CACHE[key] = make_chunked_train_step(
+            gen, disc, scfg, mesh=mesh, data_sharded=data_sharded
+        )
     return _STEP_CACHE[key]
 
 
@@ -89,9 +110,47 @@ class Trainer:
     ):
         self.cfg = cfg
         self.mixture = None
+        # the dp mesh is resolved FIRST: multi-host runs stage each process's
+        # dataset shard directly into one global sharded array (C27 DCN side)
+        self.mesh = None
+        self.multihost = False
+        dp = cfg.parallel.dp
+        if dp == -1:
+            dp = len(jax.devices())
+        if dp and dp > 1:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(dp, axis_name=cfg.parallel.mesh_axis_name)
+            if cfg.data.batch_size % dp:
+                raise ValueError(
+                    f"batch_size {cfg.data.batch_size} not divisible by dp={dp}"
+                )
+            self.multihost = jax.process_count() > 1
         if dataset is None:
             self.mixture = build_mixture(cfg.data, max_synth=max_synth)
-            dataset = DeviceDataset(self.mixture)
+            if self.multihost:
+                # per-process source staging: this process keeps only its
+                # contiguous sample shard; the DeviceDataset assembles the
+                # GLOBAL sharded array (a real deployment's loaders would
+                # read only these rows — the synthetic mixture is built
+                # deterministically on every process, then sliced)
+                import dataclasses as _dc
+
+                pid, np_ = jax.process_index(), jax.process_count()
+                n = self.mixture.images.shape[0]
+                n = (n // np_) * np_  # equal shards
+                lo, hi = pid * n // np_, (pid + 1) * n // np_
+                local = _dc.replace(
+                    self.mixture,
+                    images=self.mixture.images[lo:hi],
+                    source_id=self.mixture.source_id[lo:hi],
+                    labels=self.mixture.labels[lo:hi],
+                )
+                dataset = DeviceDataset.from_process_local(
+                    local, self.mesh, cfg.parallel.mesh_axis_name
+                )
+            else:
+                dataset = DeviceDataset(self.mixture)
         if cfg.data.auto_batch_divisor:
             # `#8.py:43`: batch = min(max(n // divisor, 16), 64)
             bs = min(max(dataset.n // cfg.data.auto_batch_divisor, 16), 64)
@@ -122,24 +181,22 @@ class Trainer:
             score_batch=cfg.strain.score_batch,
         )
         # data parallelism (C27): ParallelConfig.dp > 1 (or -1 = all devices)
-        # builds a dp mesh, replicates state, and shards each batch; XLA
-        # inserts the gradient all-reduce over ICI.
-        self.mesh = None
-        dp = cfg.parallel.dp
-        if dp == -1:
-            dp = len(jax.devices())
-        if dp and dp > 1:
-            from ..parallel.mesh import make_mesh, put_replicated
+        # replicates state over the mesh built above and shards each batch;
+        # XLA inserts the gradient all-reduce over ICI (DCN across hosts).
+        if self.mesh is not None:
+            from ..parallel.mesh import put_replicated
 
-            self.mesh = make_mesh(dp, axis_name=cfg.parallel.mesh_axis_name)
-            if cfg.data.batch_size % dp:
-                raise ValueError(
-                    f"batch_size {cfg.data.batch_size} not divisible by dp={dp}"
-                )
             self.state = put_replicated(self.state, self.mesh)
+            if not self.multihost:
+                # single-host: replicate the HBM dataset over the mesh so
+                # in-scan gathers stay local and the strain scoring scans
+                # see mesh-consistent inputs (multi-host datasets are
+                # already staged globally sample-sharded)
+                self.dataset.put_on_mesh(self.mesh)
         self.scfg = step_config_from(cfg)
-        self.step_fn = _cached_train_step(self.gen, self.disc, self.scfg,
-                                          mesh=self.mesh)
+        # the per-step fn serves the no-mesh path; dp meshes execute through
+        # the chunked executor (length-1 slices for remainders)
+        self.step_fn = _cached_train_step(self.gen, self.disc, self.scfg)
         style = "mnist" if cfg.model.arch == "mlp" else "dcgan"
         self.logger = logger or MetricsLogger(
             log_every=cfg.train.log_every, style=style
@@ -156,6 +213,7 @@ class Trainer:
         self.strain_quality: List[Dict] = []  # per-strain precision/recall
         self._iters = 0
         self._chunk_fn = None  # lazily-built scan-chunked executor
+        self._stats_cache = None  # (n_active, tp, n_contam) of current mask
 
     # ------------------------------------------------------------------- run
     def setup(self):
@@ -187,33 +245,45 @@ class Trainer:
 
         prev_active = self.engine.active
         active = self.engine.on_epoch_start(epoch, self.state, k_strain)
-        self.mask_history.append(np.asarray(active))
+        if self.logger.collect:
+            self.mask_history.append(np.asarray(active))
+        # ONE packed stats fetch per strain event (identity-cached across
+        # epochs whose mask didn't change) covers the step count, the strain
+        # report, and the ground-truth quality accounting below.
+        if self._stats_cache is None or active is not prev_active:
+            self._stats_cache = tuple(
+                int(v)
+                for v in np.asarray(_epoch_stats(active, self.dataset.source_id))
+            )
+        n_active, strain_tp, n_contam_ds = self._stats_cache
         if active is not prev_active:
-            removed = int(self.dataset.n - int(jnp.sum(active)))
-            self.logger.log_strain(epoch, removed, self.dataset.n - removed)
+            removed = self.dataset.n - n_active
+            self.logger.log_strain(epoch, removed, n_active)
             # ground-truth strain quality (the reference's contamination
             # accounting generalized): of the removed samples, how many were
             # actually contaminants?
-            contam = self.dataset.source_id != 0
-            n_contam = int(jnp.sum(contam))
-            if removed and n_contam:
-                dropped = jnp.logical_not(active)
-                tp = int(jnp.sum(jnp.logical_and(dropped, contam)))
+            if removed and n_contam_ds:
                 self.strain_quality.append(
                     dict(epoch=epoch, removed=removed,
-                         precision=tp / removed, recall=tp / n_contam)
+                         precision=strain_tp / removed,
+                         recall=strain_tp / n_contam_ds)
                 )
 
         lr_g = lr_at(t.lr_g, epoch, t)
         lr_d = lr_at(t.lr_d, epoch, t)
 
         bs = cfg.data.batch_size
-        idx = self.dataset.epoch_indices(k_perm, active, bs, cfg.data.drop_last)
-        steps = int(idx.shape[0])
+        if cfg.data.drop_last:
+            steps = n_active // bs
+        else:
+            steps = -(-n_active // bs)
+        from ..data.pipeline import epoch_batch_indices
+
+        idx = epoch_batch_indices(k_perm, active, steps, bs)
         if steps == 0:
             self.logger.stream.write(
                 f"[strainer] WARNING epoch {epoch}: 0 full batches "
-                f"({int(jnp.sum(active))} active samples < batch_size {bs}) — "
+                f"({n_active} active samples < batch_size {bs}) — "
                 "no training this epoch\n"
             )
 
@@ -232,14 +302,11 @@ class Trainer:
         last_was_chunk = False
 
         def run_one(i):
+            # no-mesh per-step execution; dp runs route through run_chunk
+            # (length 1) so the chunked executor's shardings apply
             nonlocal last_metrics, last_was_chunk
             batch = self.dataset.gather(idx[i])
             src = jnp.take(self.dataset.source_id, idx[i], axis=0)
-            if self.mesh is not None:
-                from ..parallel.mesh import put_batch_sharded
-
-                batch = put_batch_sharded(batch, self.mesh)
-                src = put_batch_sharded(src, self.mesh)
             self.state, metrics = self.step_fn(
                 self.state, batch, src, step_keys[i], lr_g, lr_d,
                 gate, concat_gate, self.pool, d_train,
@@ -256,9 +323,22 @@ class Trainer:
         def run_chunk(c0, n):
             nonlocal last_metrics, last_was_chunk
             sl = slice(c0, c0 + n)
+            idx_sl, keys_sl = idx[sl], step_keys[sl]
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                # shard the index matrix along its batch axis; each device
+                # gathers its own batch shard inside the scan
+                idx_sl = jax.device_put(
+                    idx_sl,
+                    NamedSharding(self.mesh, P(None, self.mesh.axis_names[0])),
+                )
+                keys_sl = jax.device_put(
+                    keys_sl, NamedSharding(self.mesh, P())
+                )
             self.state, metrics = self._chunk_fn(
                 self.state, self.dataset.images, self.dataset.source_id,
-                idx[sl], step_keys[sl], lr_g, lr_d, gate, concat_gate,
+                idx_sl, keys_sl, lr_g, lr_d, gate, concat_gate,
                 self.pool, d_train,
             )
             self.logger.log_chunk(epoch, t.epochs, c0, steps, metrics, n)
@@ -276,13 +356,20 @@ class Trainer:
         # split into segments ending right after each sample-point iteration
         # (`#%basic.py:300-304` samples per-iter mid-epoch); each segment
         # runs as full chunks plus a per-step remainder.  Only two compiled
-        # shapes exist (`chunk` and single-step); the per-step remainder is
-        # at most chunk-1 steps per sample point.  The dp-mesh path stays
-        # per-step for now (its shardings are declared on per-batch args).
-        chunk = 1 if self.mesh is not None else max(1, t.steps_per_dispatch)
+        # shapes exist (`chunk` and single-step).  Under a dp mesh the
+        # remainder reuses the chunked executor at length 1 (its shardings
+        # are declared once; the plain per-step fn stays the no-mesh path).
+        chunk = max(1, t.steps_per_dispatch)
         sampling = bool(t.sample_every and self.logger.collect)
-        if chunk > 1 and steps >= chunk and self._chunk_fn is None:
-            self._chunk_fn = _cached_chunked_step(self.gen, self.disc, self.scfg)
+        use_chunk_exec = chunk > 1 or self.mesh is not None
+        if use_chunk_exec and self._chunk_fn is None:
+            self._chunk_fn = _cached_chunked_step(
+                self.gen, self.disc, self.scfg, mesh=self.mesh,
+                data_sharded=self.multihost,
+            )
+        step_exec = (
+            (lambda i: run_chunk(i, 1)) if self.mesh is not None else run_one
+        )
         pos = 0
         while pos < steps:
             if sampling:
@@ -298,7 +385,7 @@ class Trainer:
                     run_chunk(pos, chunk)
                     pos += chunk
             while pos < boundary:
-                run_one(pos)
+                step_exec(pos)
                 pos += 1
             if sample_here:
                 self.img_list.append(self.sample())
@@ -308,13 +395,12 @@ class Trainer:
 
         n_contam_total = n_filtered_total = 0
         if mask_on and contam_parts:
-            # one host fetch per epoch, not one per step
-            n_contam_total = int(
-                jnp.sum(jnp.concatenate([jnp.atleast_1d(p) for p in contam_parts]))
-            )
-            n_filtered_total = int(
-                jnp.sum(jnp.concatenate([jnp.atleast_1d(p) for p in filtered_parts]))
-            )
+            # one host fetch per epoch, not one per step (both sums packed)
+            totals = np.asarray(jnp.stack([
+                jnp.sum(jnp.concatenate([jnp.atleast_1d(p) for p in contam_parts])),
+                jnp.sum(jnp.concatenate([jnp.atleast_1d(p) for p in filtered_parts])),
+            ]))
+            n_contam_total, n_filtered_total = int(totals[0]), int(totals[1])
         if mask_on:
             self.logger.log_contamination(epoch, n_filtered_total, n_contam_total)
         if gate and last_metrics is not None:
@@ -363,7 +449,7 @@ class Trainer:
         self.engine.on_epoch_end(epoch)
         return dict(
             steps=steps,
-            active=int(jnp.sum(active)),
+            active=n_active,
             lr_g=lr_g,
             lr_d=lr_d,
             filtered_contam=n_filtered_total,

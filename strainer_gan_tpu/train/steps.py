@@ -343,7 +343,7 @@ def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True, mesh=None,
     if mesh is not None:
         from ..parallel.mesh import dp_shardings
 
-        in_sh, out_sh = dp_shardings(mesh)
+        in_sh, out_sh = dp_shardings(mesh, mesh.axis_names[0])
         # d_train is static positionally (argnum 9): pjit forbids kwargs when
         # in_shardings is given.
         return jax.jit(
@@ -353,7 +353,8 @@ def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True, mesh=None,
     return jax.jit(step, donate_argnums=donate_argnums, static_argnums=(6, 9))
 
 
-def make_chunked_train_step(gen, disc, scfg: StepConfig, donate: bool = True):
+def make_chunked_train_step(gen, disc, scfg: StepConfig, donate: bool = True,
+                            mesh=None, data_sharded: bool = False):
     """Scan-fused multi-step executor: runs ``chunk`` consecutive train steps
     in ONE device dispatch, gathering each batch on-device from the
     HBM-resident dataset.
@@ -371,6 +372,11 @@ def make_chunked_train_step(gen, disc, scfg: StepConfig, donate: bool = True):
     ``idx`` is ``(chunk, batch)`` int32 and ``keys`` is ``(chunk,)`` PRNG
     keys.  The chunk length is a trace-time constant taken from ``idx``'s
     leading dimension — one compile per distinct chunk length.
+
+    With ``mesh``, the executor runs data-parallel (C27): state/dataset
+    replicated, ``idx`` sharded along its batch axis so each device gathers
+    its own batch shard locally inside the scan, gradients all-reduced by
+    GSPMD — the chunked analog of ``make_train_step(mesh=...)``.
     """
     step = _build_step_body(gen, disc, scfg, stem_share=True)
 
@@ -386,5 +392,15 @@ def make_chunked_train_step(gen, disc, scfg: StepConfig, donate: bool = True):
         return jax.lax.scan(body, state, (idx, keys))
 
     donate_argnums = (0,) if donate else ()
+    if mesh is not None:
+        from ..parallel.mesh import dp_chunked_shardings
+
+        in_sh, out_sh = dp_chunked_shardings(
+            mesh, mesh.axis_names[0], data_sharded=data_sharded
+        )
+        return jax.jit(
+            chunked, donate_argnums=donate_argnums, static_argnums=(7, 10),
+            in_shardings=in_sh, out_shardings=out_sh,
+        )
     return jax.jit(chunked, donate_argnums=donate_argnums,
                    static_argnums=(7, 10))

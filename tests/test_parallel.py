@@ -207,3 +207,65 @@ def test_tp_sharded_step_matches_single_device(setup):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b_, np.float32), atol=5e-4
         )
+
+
+def test_chunked_dp_matches_no_mesh_chunked():
+    """VERDICT r2 #3: the scan-chunked executor under a dp mesh (dataset
+    replicated, idx batch-sharded, gradients GSPMD-all-reduced) must match
+    the no-mesh chunked run — same step counts/collection, first-step losses
+    within cross-shard reduction tolerance — and the Trainer must no longer
+    force chunk=1 when a mesh is set."""
+    import dataclasses
+
+    from strainer_gan_tpu.config import ParallelConfig, get_preset
+    from strainer_gan_tpu.train.loop import Trainer
+
+    base = get_preset("batch_mask")
+    cfg = base.replace(
+        data=dataclasses.replace(base.data, batch_size=16),
+        train=dataclasses.replace(
+            base.train, epochs=1, log_every=0, steps_per_dispatch=4,
+            sample_every=0,
+        ),
+        strain=dataclasses.replace(base.strain, mask_start_epoch=0),
+    )
+    t1 = Trainer(cfg, max_synth=160)
+    t1.setup()
+    i1 = t1.run_epoch(0)
+
+    t8 = Trainer(cfg.replace(parallel=ParallelConfig(dp=8)), max_synth=160)
+    assert t8.mesh is not None
+    t8.setup()
+    i8 = t8.run_epoch(0)
+
+    assert i1["steps"] == i8["steps"] > 4  # chunked path actually engaged
+    assert len(t1.logger.G_losses) == len(t8.logger.G_losses) == i1["steps"]
+    np.testing.assert_allclose(
+        t1.logger.D_losses[0], t8.logger.D_losses[0], rtol=5e-3, atol=1e-3
+    )
+    # in-step strain accounting survives the sharded executor
+    assert i8["total_contam"] == i1["total_contam"] > 0
+
+
+def test_chunked_dp_remainder_length_one():
+    """dp remainders run as length-1 chunks: a 5-step epoch with chunk 4
+    must produce 5 collected steps under the mesh."""
+    import dataclasses
+
+    from strainer_gan_tpu.config import ParallelConfig, get_preset
+    from strainer_gan_tpu.train.loop import Trainer
+
+    base = get_preset("basic")
+    cfg = base.replace(
+        data=dataclasses.replace(base.data, batch_size=16),
+        train=dataclasses.replace(
+            base.train, epochs=1, log_every=0, steps_per_dispatch=4,
+            sample_every=0,
+        ),
+        parallel=ParallelConfig(dp=8),
+    )
+    tr = Trainer(cfg, max_synth=80)  # 5 batches
+    tr.setup()
+    info = tr.run_epoch(0)
+    assert info["steps"] == 5
+    assert len(tr.logger.G_losses) == 5
