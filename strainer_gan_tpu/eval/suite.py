@@ -21,19 +21,41 @@ from .distances import mean_feature_distance, pca_wasserstein_distance
 from .fid import calculate_fid
 
 
+_GEN_CACHE = {}
+
+
 def generate_samples(gen, g_params, g_stats, n: int, nz: int, key,
                      image_shape=None, batch: int = 100) -> jnp.ndarray:
-    """Generate n images with the trained G (eval mode)."""
+    """Generate n images with the trained G (eval mode).
+
+    The per-batch forward is jitted (cached per generator module): at
+    BASELINE scale (50k samples, `#strainer gan.py:637-641`) an eager
+    apply would pay hundreds of per-op dispatches per batch on the
+    remote-attached TPU.  A ragged tail batch reuses the full-batch program
+    by generating ``batch`` samples and slicing.
+    """
+    ck = (id(gen), batch)
+    if ck not in _GEN_CACHE:
+
+        @jax.jit
+        def sample_batch(g_params, g_stats, k):
+            z = jax.random.normal(k, (batch, nz))
+            img = gen.apply(
+                {"params": g_params, "batch_stats": g_stats}, z, train=False
+            )
+            return img.astype(jnp.float32)
+
+        _GEN_CACHE[ck] = sample_batch
+    sample_batch = _GEN_CACHE[ck]
     outs = []
     for i in range(-(-n // batch)):
-        k = jax.random.fold_in(key, i)
-        z = jax.random.normal(k, (min(batch, n - i * batch), nz))
-        img = gen.apply(
-            {"params": g_params, "batch_stats": g_stats}, z, train=False
-        )
+        img = sample_batch(g_params, g_stats, jax.random.fold_in(key, i))
+        take = min(batch, n - i * batch)
+        if take != batch:
+            img = img[:take]
         if img.ndim == 2 and image_shape is not None:
             img = img.reshape((img.shape[0],) + tuple(image_shape))
-        outs.append(img.astype(jnp.float32))
+        outs.append(img)
     return jnp.concatenate(outs, axis=0)
 
 

@@ -14,6 +14,8 @@ import pytest
 from strainer_gan_tpu.config import get_preset
 from strainer_gan_tpu.train.loop import Trainer
 
+pytestmark = pytest.mark.slow  # multi-minute; inner loop runs -m 'not slow'
+
 
 def shrink(cfg, batch=8, epochs=2, **kw):
     # check_finite=True: every e2e run doubles as a NaN/Inf rail (the CI

@@ -32,54 +32,34 @@ from strainer_gan_tpu.strain.engine import StrainerEngine
 
 from test_backbones import TorchResNet18Features
 
-N_SYNTH = 160
+pytestmark = pytest.mark.slow  # multi-minute; inner loop runs -m 'not slow'
+
+N_SYNTH = 2048
 
 
 @pytest.fixture(scope="module")
 def backbone():
-    """(jax feature_fn, torch model) carrying IDENTICAL weights.
-
-    He-init + zeroed BN affine leaves some post-ReLU feature dims dead for
-    every input, and a dead dim makes the reference's z-score 0/0 = NaN
-    (pretrained torchvision weights never have this).  Seeded-randomizing
-    the BN parameters/stats — exactly like test_backbones does for its
-    oracle — revives every dim; the cross-framework chain under test
-    (forward parity + scoring + threshold) is weight-provenance-agnostic.
+    """(jax feature_fn, torch model) carrying IDENTICAL weights, loaded
+    through the PRODUCTION weight on-ramp: a deterministic torchvision-named
+    state_dict (models.synth_weights — the stand-in for staged pretrained
+    weights) ported via ``load_torch_resnet_state_dict``, exactly the code
+    path ``scripts/validate_staged_weights.py`` drives for real checkpoints.
+    The torch side loads the SAME state_dict, so the golden chain exercises
+    forward parity + the port itself + scoring + thresholds end-to-end.
     """
+    from strainer_gan_tpu.models.resnet import load_torch_resnet_state_dict
+    from strainer_gan_tpu.models.synth_weights import synth_resnet_state_dict
+
     model = resnet18_features(3)
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = model.init({"params": jax.random.PRNGKey(0)}, dummy)
-
-    def randomize(tree, spec):
-        def visit(path, leaf):
-            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-            parent = str(path[-2]) if len(path) > 1 else ""
-            if "MaskedBatchNorm" in parent and name in spec:
-                mu, sigma = spec[name]
-                import zlib
-
-                k = jax.random.fold_in(
-                    jax.random.PRNGKey(42),
-                    zlib.crc32(str(path).encode()) % (2**31),
-                )
-                return mu + sigma * jax.random.normal(k, leaf.shape, leaf.dtype)
-            return leaf
-        return jax.tree_util.tree_map_with_path(visit, tree)
-
-    variables = {
-        "params": randomize(
-            variables["params"], {"scale": (1.0, 0.1), "bias": (0.2, 0.1)}
-        ),
-        "batch_stats": randomize(
-            variables["batch_stats"], {"mean": (0.0, 0.05), "var": (1.0, 0.1)}
-        ),
-    }
+    sd = synth_resnet_state_dict(variables)
+    variables = load_torch_resnet_state_dict(variables, sd)
 
     @jax.jit
     def feature_fn(x):
         return model.apply(variables, x, train=False)
 
-    sd = export_torch_resnet_state_dict(jax.tree.map(np.asarray, variables))
     td = TorchResNet18Features().eval()
     res = td.load_state_dict(
         {k: torch.from_numpy(v) for k, v in sd.items()}, strict=False
@@ -87,6 +67,11 @@ def backbone():
     assert not res.unexpected_keys
     # only BN num_batches_tracked may be missing
     assert all("num_batches_tracked" in k for k in res.missing_keys)
+    # round-trip sanity: exporting our ported variables reproduces the
+    # state_dict we loaded (the port is bijective on these weights)
+    back = export_torch_resnet_state_dict(jax.tree.map(np.asarray, variables))
+    np.testing.assert_allclose(back["conv1.weight"], sd["conv1.weight"],
+                               rtol=0, atol=0)
     return feature_fn, td
 
 
@@ -214,3 +199,42 @@ def test_zscore_dbscan_mask_agreement(backbone, dataset):
     ours = np.asarray(engine.prefilter(jax.random.PRNGKey(1)))
 
     assert oracle.mask_agreement(ours, ref) >= 0.99
+
+
+def test_dead_dim_deviation_measured():
+    """PARITY.md dead-dim ledger row, MEASURED instead of designed around:
+    torch's z-score on a zero-variance feature dim is 0/0 = NaN, `NaN < thr`
+    is False, so the reference drops EVERY sample (`#z_score.py:286-293`
+    semantics; unreachable with pretrained weights).  Our device impl
+    (strain/thresholds._masked_max_abs_z) maps dead dims to z = 0 so the
+    live dims still decide.  This test quantifies the divergence on a
+    feature matrix with one dead dim."""
+    from strainer_gan_tpu.strain.thresholds import zscore_fixed_mask
+
+    rng = np.random.default_rng(0)
+    n = 2000
+    feats = rng.normal(0.0, 1.0, (n, 32)).astype(np.float32)
+    feats[:, 7] = 0.5  # exactly-representable constant -> torch std == 0.0
+
+    # reference semantics, run verbatim in torch
+    ft = torch.from_numpy(feats)
+    z_ref = (ft - ft.mean(dim=0)).abs() / ft.std(dim=0)  # dim 7 -> 0/0 = NaN
+    assert torch.isnan(z_ref[:, 7]).all()
+    ref = (z_ref.max(dim=1).values < 3.0).numpy()
+    assert not ref.any(), "torch NaN semantics must drop everything"
+
+    # ours: dead dim contributes z = 0; live dims decide
+    ours, _ = zscore_fixed_mask(jnp.asarray(feats), 3.0, "torch", True)
+    ours = np.asarray(ours)
+
+    # oracle over live dims only
+    live = np.delete(feats, 7, axis=1)
+    z_live = np.abs(live - live.mean(0)) / live.std(0, ddof=1)
+    expected = z_live.max(1) < 3.0
+    np.testing.assert_array_equal(ours, expected)
+
+    # the measured deviation: every sample we keep is a disagreement with
+    # the reference's (degenerate) all-drop mask
+    deviation = float((ours != ref).mean())
+    assert deviation == pytest.approx(float(ours.mean()))
+    assert 0.1 < deviation < 1.0  # non-vacuous: the masks genuinely diverge

@@ -32,6 +32,8 @@ from strainer_gan_tpu.train.loop import Trainer
 
 from test_models_parity import copy_d_params, torch_discriminator64
 
+pytestmark = pytest.mark.slow  # multi-minute; inner loop runs -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def trained():

@@ -10,6 +10,9 @@ import re
 import socket
 import subprocess
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute; inner loop runs -m 'not slow'
 
 WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 
@@ -34,7 +37,7 @@ def test_two_process_dp_step_agrees():
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=560)
+        out, _ = p.communicate(timeout=1500)
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
@@ -47,3 +50,18 @@ def test_two_process_dp_step_agrees():
     assert set(losses) == {0, 1}
     # replicated metrics after the cross-process all-reduce must match exactly
     assert losses[0] == losses[1], losses
+
+    # Trainer-level run (per-process staging, real epoch driver): identical
+    # losses AND identical strain masks across both processes
+    trainer = {}
+    for out in outs:
+        m = re.search(
+            r"MULTIHOST_TRAINER_OK pid=(\d) errD=([\d.eE+-]+) "
+            r"errG=([\d.eE+-]+) mask_crc=(\d+) active=(\d+)", out
+        )
+        assert m, out
+        trainer[int(m.group(1))] = m.groups()[1:]
+    assert set(trainer) == {0, 1}
+    assert trainer[0] == trainer[1], trainer
+    # the strain actually removed something (non-vacuous mask agreement)
+    assert 0 < int(trainer[0][3]) < 256, trainer
