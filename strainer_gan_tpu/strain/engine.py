@@ -79,6 +79,16 @@ class StrainerEngine:
         self.last_batch_scores = None  # in-step mask scores (batch_quantile_mask)
         self.last_batch_mask = None  # the in-step keep mask for those scores
         self.last_band_stats = None  # [n_band, overflowed, max_drift] (band path)
+        # band-overflow hysteresis: a weakly-separating D concentrates most
+        # scores inside the band, so the fused path pays bf16 bulk + full-f32
+        # fallback (+~135 ms/epoch at 66k on v5e, measured) — worse than plain
+        # f32.  When the Trainer's packed stats fetch observes an overflow it
+        # sets this cooloff; the engine scores plain-f32 for that many strain
+        # events before retrying the band (one retry per window amortizes the
+        # double-scan to ~1/5 of its cost in persistently-concentrated
+        # regimes, and re-engages within a window once the D separates).
+        self.band_cooloff = 0
+        self.last_score_path = None  # "band" | "f32" (last loss_percentile)
         self._features = None  # cached features for prefilter-style strainers
         self._base_subset = None  # int32 indices of base_active, when it shrank
 
@@ -216,7 +226,11 @@ class StrainerEngine:
                 loss_ratio = clean_ratio_at(epoch, sc.clean_ratio_schedule)
             else:
                 loss_ratio = sc.loss_ratio
-            if sc.score_precision == "band_bf16":
+            use_band = sc.score_precision == "band_bf16"
+            if use_band and self.band_cooloff > 0:
+                self.band_cooloff -= 1
+                use_band = False
+            if use_band:
                 # one fused dispatch: bf16 bulk scoring + exact-f32 band
                 # re-score + threshold + mask (see fused_percentile_refine)
                 mask, thr, losses, band_stats = SC.fused_percentile_refine(
@@ -232,11 +246,14 @@ class StrainerEngine:
                     self.d_bn_eval = True  # SURVEY §2.4 item 4
                 self.last_scores = losses
                 self.last_band_stats = band_stats  # device (3,) f32
+                self.last_score_path = "band"
             else:
                 losses = self._losses(state)
                 mask, thr = TH.percentile_refine_mask(
                     losses, loss_ratio, valid=self.base_active
                 )
+                self.last_band_stats = None  # stats describe the band path only
+                self.last_score_path = "f32"
             self.last_threshold = thr
             self.active = mask
             self.last_mask = mask

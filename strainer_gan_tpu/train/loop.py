@@ -62,16 +62,19 @@ _STEP_CACHE = {}
 
 
 @jax.jit
-def _epoch_stats(active, source_id):
-    """[n_active, true-positive removals, n_contaminants] — everything the
-    epoch driver needs from the strain mask, packed so the host pays ONE
-    ~28 ms remote fetch per strain event instead of four."""
+def _epoch_stats(active, source_id, band_overflow):
+    """[n_active, true-positive removals, n_contaminants, band_overflowed] —
+    everything the epoch driver needs from the strain mask, packed so the
+    host pays ONE ~28 ms remote fetch per strain event instead of four.
+    ``band_overflow`` piggybacks the band scorer's fallback flag (scalar 0/1,
+    already on device) so the band-cooloff policy costs no extra fetch."""
     contam = source_id != 0
     dropped = jnp.logical_not(active)
     return jnp.stack([
         jnp.sum(active),
         jnp.sum(jnp.logical_and(dropped, contam)),
         jnp.sum(contam),
+        band_overflow.astype(jnp.int32),
     ]).astype(jnp.int32)
 
 
@@ -213,7 +216,7 @@ class Trainer:
         self.strain_quality: List[Dict] = []  # per-strain precision/recall
         self._iters = 0
         self._chunk_fn = None  # lazily-built scan-chunked executor
-        self._stats_cache = None  # (n_active, tp, n_contam) of current mask
+        self._stats_cache = None  # (n_active, tp, n_contam, band_overflow)
 
     # ------------------------------------------------------------------- run
     def setup(self):
@@ -251,11 +254,24 @@ class Trainer:
         # epochs whose mask didn't change) covers the step count, the strain
         # report, and the ground-truth quality accounting below.
         if self._stats_cache is None or active is not prev_active:
+            bstats = self.engine.last_band_stats
+            overflow = (
+                bstats[1] if bstats is not None else jnp.int32(0)
+            )
             self._stats_cache = tuple(
                 int(v)
-                for v in np.asarray(_epoch_stats(active, self.dataset.source_id))
+                for v in np.asarray(
+                    _epoch_stats(active, self.dataset.source_id, overflow)
+                )
             )
-        n_active, strain_tp, n_contam_ds = self._stats_cache
+            if self._stats_cache[3] and self.engine.last_score_path == "band":
+                # band overflowed (weakly-separating D): score plain-f32 for
+                # the next few strain events before retrying the band — the
+                # overflow path costs bf16 bulk + full f32 (worse than f32
+                # alone), so persistent concentration must not pay it every
+                # epoch (see StrainerEngine.band_cooloff)
+                self.engine.band_cooloff = 5
+        n_active, strain_tp, n_contam_ds = self._stats_cache[:3]
         if active is not prev_active:
             removed = self.dataset.n - n_active
             self.logger.log_strain(epoch, removed, n_active)

@@ -84,25 +84,40 @@ def main(coordinator: str, process_id: int) -> None:
     from strainer_gan_tpu.obs.metrics import MetricsLogger
     from strainer_gan_tpu.train.loop import Trainer
 
+    # one epoch, strain at epoch 0, f32 scoring (the band scorer has its own
+    # CPU suite; its large fused program is not worth a second compile here —
+    # this host has ONE core and both workers compile concurrently)
     base = get_preset("final")
     tcfg = base.replace(
         data=dataclasses.replace(base.data, batch_size=16),
         train=dataclasses.replace(
-            base.train, epochs=2, log_every=0, sample_every=0,
+            base.train, epochs=1, log_every=0, sample_every=0,
             steps_per_dispatch=4,
         ),
         strain=dataclasses.replace(
-            base.strain, start_epoch=1, prefilter=False, score_batch=64,
+            base.strain, start_epoch=0, prefilter=False, score_batch=64,
+            score_precision="f32",
         ),
         parallel=ParallelConfig(dp=-1),
     )
-    tr = Trainer(tcfg, max_synth=256,
+    tr = Trainer(tcfg, max_synth=128,
                  logger=MetricsLogger(log_every=0, collect=False))
     assert tr.multihost and tr.mesh is not None
-    assert tr.dataset.n == 256  # both process shards assembled globally
+    # both process shards assembled into ONE global array covering the full
+    # deterministic mixture (primary + contaminants; `final` doubles
+    # max_synth), trimmed to equal per-process shards
+    full_n = tr.mixture.images.shape[0]
+    assert tr.dataset.n == (full_n // 2) * 2 and tr.dataset.n >= 128, (
+        tr.dataset.n, full_n,
+    )
     tr.setup()
-    infos = [tr.run_epoch(e) for e in range(2)]
-    mask = np.asarray(multihost_utils.process_allgather(tr.engine.active))
+    infos = [tr.run_epoch(0)]
+    # the mask is a GLOBAL array (the dataset is sample-sharded across both
+    # processes, so jit outputs span them); tiled=True reassembles the full
+    # global value on every host — each process CRCs the complete mask
+    mask = np.asarray(
+        multihost_utils.process_allgather(tr.engine.active, tiled=True)
+    )
     crc = zlib.crc32(mask.tobytes())
     last = infos[-1]["last"]
     print(

@@ -120,6 +120,35 @@ def test_band_overflow_falls_back_to_f32(setup):
     np.testing.assert_array_equal(np.asarray(scores), losses0)
 
 
+def test_band_overflow_cooloff():
+    """A weakly-separating D (random init: every score ~0.693) overflows the
+    band; the Trainer's packed stats fetch must observe it and put the
+    engine on a plain-f32 cooloff — masks stay correct either way."""
+    from strainer_gan_tpu.train.loop import Trainer
+
+    base = get_preset("final")
+    cfg = base.replace(
+        data=dataclasses.replace(base.data, batch_size=16),
+        train=dataclasses.replace(base.train, epochs=3, log_every=0,
+                                  sample_every=0),
+        strain=dataclasses.replace(
+            base.strain, start_epoch=0, prefilter=False, score_batch=64,
+        ),
+    )
+    tr = Trainer(cfg, max_synth=220)
+    tr.setup()
+    tr.run_epoch(0)  # epoch 0: untrained D -> band overflow -> cooloff
+    assert tr.engine.last_score_path == "band"
+    assert tr._stats_cache[3] == 1
+    assert tr.engine.band_cooloff == 5
+    tr.run_epoch(1)
+    assert tr.engine.last_score_path == "f32"
+    assert tr.engine.band_cooloff == 4
+    assert tr.engine.last_band_stats is None
+    # masks remain exact on the f32 path (same decider, same semantics)
+    assert len(tr.mask_history) == 2
+
+
 def test_band_engine_integration():
     """StrainerEngine with score_precision='band_bf16' (the default) produces
     the same per-epoch masks as the legacy f32 engine on the final preset."""

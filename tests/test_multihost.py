@@ -63,5 +63,6 @@ def test_two_process_dp_step_agrees():
         trainer[int(m.group(1))] = m.groups()[1:]
     assert set(trainer) == {0, 1}
     assert trainer[0] == trainer[1], trainer
-    # the strain actually removed something (non-vacuous mask agreement)
+    # the strain actually removed something (non-vacuous mask agreement);
+    # the `final` mixture is 2*max_synth samples (primary + contaminants)
     assert 0 < int(trainer[0][3]) < 256, trainer
