@@ -119,6 +119,7 @@ def test_masked_step_with_mask_off_equals_basic_step(setup):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-3)
 
 
+@pytest.mark.slow  # 5-8 min mesh compile on CPU; fast loop covers dp via dryrun_multichip
 def test_trainer_with_dp_mesh_runs_and_matches_first_step():
     """ParallelConfig.dp wires a mesh through the Trainer; the first step's
     losses match the single-device run (later steps diverge chaotically from
@@ -209,6 +210,7 @@ def test_tp_sharded_step_matches_single_device(setup):
         )
 
 
+@pytest.mark.slow  # 5-8 min mesh compile on CPU; fast loop covers dp via dryrun_multichip
 def test_chunked_dp_matches_no_mesh_chunked():
     """VERDICT r2 #3: the scan-chunked executor under a dp mesh (dataset
     replicated, idx batch-sharded, gradients GSPMD-all-reduced) must match
@@ -247,6 +249,7 @@ def test_chunked_dp_matches_no_mesh_chunked():
     assert i8["total_contam"] == i1["total_contam"] > 0
 
 
+@pytest.mark.slow  # 5-8 min mesh compile on CPU; fast loop covers dp via dryrun_multichip
 def test_chunked_dp_remainder_length_one():
     """dp remainders run as length-1 chunks: a 5-step epoch with chunk 4
     must produce 5 collected steps under the mesh."""
