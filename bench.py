@@ -22,7 +22,7 @@ BASELINE_IMG_PER_SEC = 50_000.0
 
 
 def bench(batch_size: int = 1024, iters: int = 96, warmup: int = 32,
-          chunk: int = 32) -> float:
+          chunk: int = 32, unroll: int = 1) -> float:
     from strainer_gan_tpu.config import get_preset
     from strainer_gan_tpu.models import build_models
     from strainer_gan_tpu.train.loop import step_config_from
@@ -39,7 +39,7 @@ def bench(batch_size: int = 1024, iters: int = 96, warmup: int = 32,
     # Trainer.run_epoch drives (train/loop.py), at the same chunk size as
     # TrainConfig.steps_per_dispatch's default (32), not a bench-only
     # shortcut.
-    step = make_chunked_train_step(gen, disc, scfg, donate=True)
+    step = make_chunked_train_step(gen, disc, scfg, donate=True, unroll=unroll)
 
     n_data = 4 * batch_size  # HBM-resident dataset the chunk gathers from
     data = jax.random.randint(

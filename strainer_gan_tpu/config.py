@@ -221,6 +221,10 @@ class TrainConfig:
     # chunking never changes img_list frames.  32 matches the published
     # bench config (bench.py, scripts/bench_trainer.py).
     steps_per_dispatch: int = 32
+    # lax.scan unroll for the chunked executor (results identical; >1 lets
+    # XLA overlap adjacent steps' HBM traffic with MXU work at the cost of a
+    # roughly-unroll-times-larger program to compile).
+    scan_unroll: int = 1
 
 
 @dataclass(frozen=True)

@@ -89,15 +89,16 @@ def _cached_train_step(gen, disc, scfg: StepConfig, mesh=None):
 
 
 def _cached_chunked_step(gen, disc, scfg: StepConfig, mesh=None,
-                         data_sharded: bool = False):
+                         data_sharded: bool = False, unroll: int = 1):
     """Same sharing for the scan-chunked executor — without it every Trainer
     (the test suite builds dozens with identical configs) would re-trace and
     recompile the chunked program."""
     key = ("chunk", id(gen), id(disc), scfg,
-           id(mesh) if mesh is not None else None, data_sharded)
+           id(mesh) if mesh is not None else None, data_sharded, unroll)
     if key not in _STEP_CACHE:
         _STEP_CACHE[key] = make_chunked_train_step(
-            gen, disc, scfg, mesh=mesh, data_sharded=data_sharded
+            gen, disc, scfg, mesh=mesh, data_sharded=data_sharded,
+            unroll=unroll,
         )
     return _STEP_CACHE[key]
 
@@ -381,7 +382,7 @@ class Trainer:
         if use_chunk_exec and self._chunk_fn is None:
             self._chunk_fn = _cached_chunked_step(
                 self.gen, self.disc, self.scfg, mesh=self.mesh,
-                data_sharded=self.multihost,
+                data_sharded=self.multihost, unroll=max(1, t.scan_unroll),
             )
         step_exec = (
             (lambda i: run_chunk(i, 1)) if self.mesh is not None else run_one

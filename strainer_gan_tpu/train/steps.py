@@ -354,7 +354,8 @@ def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True, mesh=None,
 
 
 def make_chunked_train_step(gen, disc, scfg: StepConfig, donate: bool = True,
-                            mesh=None, data_sharded: bool = False):
+                            mesh=None, data_sharded: bool = False,
+                            unroll: int = 1):
     """Scan-fused multi-step executor: runs ``chunk`` consecutive train steps
     in ONE device dispatch, gathering each batch on-device from the
     HBM-resident dataset.
@@ -389,7 +390,11 @@ def make_chunked_train_step(gen, disc, scfg: StepConfig, donate: bool = True,
             return step(st, batch, src, k, lr_g, lr_d,
                         mask_on, concat_on, pool_u8, d_train)
 
-        return jax.lax.scan(body, state, (idx, keys))
+        # ``unroll`` is an executor knob only (identical results, the scan
+        # body is replicated so XLA can overlap adjacent steps' HBM traffic
+        # with MXU work); >1 roughly doubles the chunked program's compile
+        # time, so it is opt-in via TrainConfig.scan_unroll.
+        return jax.lax.scan(body, state, (idx, keys), unroll=unroll)
 
     donate_argnums = (0,) if donate else ()
     if mesh is not None:

@@ -109,6 +109,40 @@ def test_chunked_matches_per_step(setup):
         )
 
 
+def test_chunked_unroll_matches_unroll1(setup):
+    """TrainConfig.scan_unroll is an executor knob only: the unrolled scan
+    must produce the same chunk metrics and parameters as unroll=1 (the
+    bodies are the same trace, so XLA's per-step programs agree to the same
+    tolerance as chunked-vs-per-step)."""
+    cfg, gen, disc, scfg, state, batch, src = setup
+    b = batch.shape[0]
+    n = 3  # odd on purpose: unroll=2 must handle the remainder iteration
+    keys = jnp.stack(
+        [jax.random.fold_in(jax.random.PRNGKey(2), i) for i in range(n)]
+    )
+    idx = jnp.tile(jnp.arange(b)[None, :], (n, 1))
+
+    def run(unroll):
+        cstep = make_chunked_train_step(gen, disc, scfg, donate=False,
+                                        unroll=unroll)
+        return cstep(state, batch, src, idx, keys, LR, LR, True,
+                     jnp.asarray(False), None)
+
+    s1, m1 = run(1)
+    s2, m2 = run(2)
+    np.testing.assert_array_equal(
+        np.asarray(m1["keep_mask"]), np.asarray(m2["keep_mask"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(m1["errD"]), np.asarray(m2["errD"]), rtol=5e-2, atol=5e-3
+    )
+    for a, b_ in zip(jax.tree.leaves(s1.d_params), jax.tree.leaves(s2.d_params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            atol=float(n * 2 * 2e-4),
+        )
+
+
 def test_chunked_gathers_correct_batches(setup):
     """The in-scan gather must feed idx[i] rows of the dataset to step i:
     with contamination tags on known rows, the per-step ground-truth
