@@ -68,7 +68,8 @@ def probe_bulk(disc, params, stats, ds):
 
     for dtype_name, dt_ in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
         dc = disc.clone(compute_dtype=dt_)
-        for bs in (512, 1024, 2048, 4096):
+        for bs, unroll in ((512, 1), (512, 2), (512, 4), (1024, 1),
+                           (1024, 2), (2048, 1), (4096, 1)):
             def apply_fn(batch_u8, dc=dc):
                 from strainer_gan_tpu.data.pipeline import normalize_u8
                 from strainer_gan_tpu.ops import losses as L
@@ -78,11 +79,11 @@ def probe_bulk(disc, params, stats, ds):
                 return L.bce_from_logits(logits, 1.0)
 
             @jax.jit
-            def scan(images, bs=bs, apply_fn=apply_fn):
-                return SC._scan_batches(apply_fn, images, bs)
+            def scan(images, bs=bs, unroll=unroll, apply_fn=apply_fn):
+                return SC._scan_batches(apply_fn, images, bs, unroll=unroll)
 
             t = timeit(scan, ds.images)
-            print(f"bulk {dtype_name} b{bs}: {t*1e3:7.2f} ms "
+            print(f"bulk {dtype_name} b{bs} u{unroll}: {t*1e3:7.2f} ms "
                   f"({N/t/1e3:.0f}k img/s)")
 
 

@@ -30,13 +30,19 @@ from ..ops import losses as L
 
 
 def _scan_batches(apply_fn: Callable, images_u8: jnp.ndarray, batch_size: int,
-                  subset: jnp.ndarray | None = None) -> jnp.ndarray:
+                  subset: jnp.ndarray | None = None,
+                  unroll: int = 1) -> jnp.ndarray:
     """Run ``apply_fn(batch_normalized) -> (b,) or (b, d)`` over all samples.
 
     With ``subset`` (int32 indices), scores only those samples — each scan
     step gathers its batch from the HBM dataset, so no compacted copy of the
     image array is ever materialized.  Returns ``(len(subset), ...)`` scores
     aligned with ``subset``.
+
+    ``unroll``: scoring iterations carry no state (eval-mode forwards are
+    per-sample), so unrolling lets XLA overlap one iteration's HBM gather
+    with the previous iteration's MXU work while keeping live activations
+    bounded at ``unroll`` batches.  Results are identical.
     """
     if subset is not None:
         n = subset.shape[0]
@@ -48,7 +54,7 @@ def _scan_batches(apply_fn: Callable, images_u8: jnp.ndarray, batch_size: int,
         def body(_, ib):
             return _, apply_fn(jnp.take(images_u8, ib, axis=0))
 
-        _, outs = jax.lax.scan(body, None, idx)
+        _, outs = jax.lax.scan(body, None, idx, unroll=unroll)
         outs = outs.reshape((nb * batch_size,) + outs.shape[2:])
         return outs[:n]
 
@@ -64,7 +70,7 @@ def _scan_batches(apply_fn: Callable, images_u8: jnp.ndarray, batch_size: int,
         [images_u8, jnp.zeros((pad,) + images_u8.shape[1:], images_u8.dtype)]
     ) if pad else images_u8
     padded = padded.reshape((nb, batch_size) + images_u8.shape[1:])
-    _, outs = jax.lax.scan(body, None, jnp.arange(nb))
+    _, outs = jax.lax.scan(body, None, jnp.arange(nb), unroll=unroll)
     outs = outs.reshape((nb * batch_size,) + outs.shape[2:])
     return outs[:n]
 
