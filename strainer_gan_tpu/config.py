@@ -185,6 +185,10 @@ class StrainConfig:
     # overflow.
     band_eps: float = 0.05
     band_capacity_frac: float = 0.0625
+    # lax.scan unroll for the bulk scoring scans (strain/score._scan_batches):
+    # iterations carry no state, so unrolling overlaps HBM gathers with MXU
+    # work; results identical.  1 = no unrolling.
+    score_unroll: int = 1
 
 
 # ---------------------------------------------------------------------------

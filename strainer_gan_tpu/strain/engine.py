@@ -125,7 +125,7 @@ class StrainerEngine:
             self.disc, state.d_params, state.d_stats, self.dataset,
             real_label=self.cfg.train.real_label,
             batch_size=self.score_batch, flatten=self.flatten,
-            subset=subset,
+            subset=subset, unroll=self.sc.score_unroll,
         )
         if subset is not None:
             # scatter back to full-size (inactive lanes +inf: they are never
@@ -241,6 +241,7 @@ class StrainerEngine:
                     subset=self._base_subset,
                     band_eps=sc.band_eps,
                     band_capacity_frac=sc.band_capacity_frac,
+                    unroll=sc.score_unroll,
                 )
                 if sc.bn_eval_after_score:
                     self.d_bn_eval = True  # SURVEY §2.4 item 4

@@ -78,7 +78,7 @@ def _scan_batches(apply_fn: Callable, images_u8: jnp.ndarray, batch_size: int,
 def score_d_losses(
     disc, d_params, d_stats, dataset: DeviceDataset, real_label: float = 1.0,
     batch_size: int = 64, flatten: bool = False,
-    subset: jnp.ndarray | None = None,
+    subset: jnp.ndarray | None = None, unroll: int = 1,
 ) -> jnp.ndarray:
     """Per-sample BCE(D(x), real_label) with D in eval mode.
 
@@ -101,7 +101,7 @@ def score_d_losses(
     without this, every epoch's re-strain would rebuild and recompile the
     scan.
     """
-    key = (id(disc), batch_size, flatten, float(real_label))
+    key = (id(disc), batch_size, flatten, float(real_label), unroll)
     if key not in _D_SCORE_CACHE:
         # (s2d conv form was also tried here: slower for the f32 scan on
         # v5e despite the isolated-forward microbench win — direct convs.)
@@ -121,12 +121,15 @@ def score_d_losses(
 
         @jax.jit
         def scorer(d_params, d_stats, images):
-            return _scan_batches(_apply_fn(d_params, d_stats), images, batch_size)
+            return _scan_batches(
+                _apply_fn(d_params, d_stats), images, batch_size, unroll=unroll
+            )
 
         @jax.jit
         def scorer_subset(d_params, d_stats, images, subset):
             return _scan_batches(
-                _apply_fn(d_params, d_stats), images, batch_size, subset
+                _apply_fn(d_params, d_stats), images, batch_size, subset,
+                unroll=unroll,
             )
 
         _D_SCORE_CACHE[key] = (scorer, scorer_subset)
@@ -164,6 +167,7 @@ def fused_percentile_refine(
     real_label: float = 1.0, batch_size: int = 512, flatten: bool = False,
     subset: jnp.ndarray | None = None,
     band_eps: float = 0.05, band_capacity_frac: float = 0.0625,
+    unroll: int = 1,
 ):
     """Percentile loss-refinement (`# final.py:343-374`) with band-exact
     mixed-precision scoring, fused into ONE device dispatch.
@@ -203,7 +207,7 @@ def fused_percentile_refine(
     cap = min(m, max(256, int(m * band_capacity_frac)))
     cap = -(-cap // batch_size) * batch_size  # whole scan batches
     key = (id(disc), batch_size, flatten, float(real_label), sub_len, cap,
-           float(band_eps), n)
+           float(band_eps), n, unroll)
     if key not in _BAND_CACHE:
         from ..ops import stats as S
         from . import thresholds as TH
@@ -238,7 +242,8 @@ def fused_percentile_refine(
                 )
 
             s_bulk = to_full(
-                _scan_batches(mk_apply(disc_lo), images, batch_size, scan_subset)
+                _scan_batches(mk_apply(disc_lo), images, batch_size,
+                              scan_subset, unroll=unroll)
             )
             q = (1.0 - ratio) * 100.0
             # ONE argsort of the bulk scores serves the threshold estimate
@@ -318,7 +323,8 @@ def fused_percentile_refine(
             def full_f32(_):
                 s = to_full(
                     _scan_batches(
-                        mk_apply(disc_hi), images, batch_size, scan_subset
+                        mk_apply(disc_hi), images, batch_size, scan_subset,
+                        unroll=unroll,
                     )
                 )
                 m, t = TH.percentile_refine_mask(s, ratio, valid=valid)
