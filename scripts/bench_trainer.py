@@ -26,8 +26,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 
+def _synth_images(n: int, rng) -> "np.ndarray":
+    """Synthetic uint8 images with PER-SAMPLE statistics spread.
+
+    iid uniform noise gives every sample identical statistics, so a D maps
+    the whole dataset to one score blob and the percentile band degenerates
+    to "everything" (the overflow fallback) — unrepresentative of real data,
+    where per-sample variation (faces, lighting, backgrounds) spreads D's
+    scores.  Per-sample contrast/brightness jitter restores that spread with
+    content that is still throughput-equivalent (same shapes/dtypes).
+    """
+    import numpy as np
+
+    imgs = np.empty((n, 64, 64, 3), np.uint8)
+    slab = 8192
+    for lo in range(0, n, slab):
+        hi = min(lo + slab, n)
+        base = rng.integers(0, 256, (hi - lo, 64, 64, 3), np.int32)
+        contrast = rng.uniform(0.25, 1.0, (hi - lo, 1, 1, 1))
+        offset = rng.uniform(0.0, 96.0, (hi - lo, 1, 1, 1))
+        imgs[lo:hi] = np.clip(base * contrast + offset, 0, 255).astype(np.uint8)
+    return imgs
+
+
 def bench_trainer(preset: str, batch_size: int = 1024,
-                  n_synth: int = 66000) -> dict:
+                  n_synth: int = 66000, timed_epochs: int = 3) -> dict:
     from strainer_gan_tpu.config import get_preset
     from strainer_gan_tpu.obs.metrics import MetricsLogger
     from strainer_gan_tpu.train.loop import Trainer
@@ -56,7 +79,7 @@ def bench_trainer(preset: str, batch_size: int = 1024,
     from strainer_gan_tpu.data.mixers import Mixture
 
     rng = np.random.default_rng(0)
-    imgs = rng.integers(0, 256, (n_synth, 64, 64, 3), np.uint8)
+    imgs = _synth_images(n_synth, rng)
     mix = Mixture(
         images=imgs,
         source_id=(rng.random(n_synth) < 0.1).astype(np.int32),
@@ -92,16 +115,24 @@ def bench_trainer(preset: str, batch_size: int = 1024,
     tr.engine.band_cooloff = 0
 
     t0 = time.perf_counter()
-    info = tr.run_epoch(warmup)
-    # flush the dispatch queue (remote backend; see bench.py)
+    total_imgs = 0
+    info = None
+    for k in range(timed_epochs):
+        info = tr.run_epoch(warmup + k)
+        total_imgs += info["steps"] * batch_size
+    # ONE flush at the end of the timed window (remote backend; see
+    # bench.py).  Timing several steady-state epochs is the honest
+    # multi-epoch cost: per-epoch host fetches overlap the next epoch's
+    # queued device work (the deferred-stats path), and a real run pays the
+    # trailing sync once, not once per epoch.
     _ = float(info["last"]["errD"]) if info["last"] is not None else None
     dt = time.perf_counter() - t0
-    imgs = info["steps"] * batch_size
     out = dict(
         metric=f"trainer_epoch_images_per_sec[{preset}]",
-        value=round(imgs / dt, 1),
+        value=round(total_imgs / dt, 1),
         unit="img/s/chip (Trainer.run_epoch end-to-end)",
         steps=info["steps"],
+        epochs_timed=timed_epochs,
         batch_size=batch_size,
     )
     if tr.engine.last_score_path is not None:
@@ -117,7 +148,11 @@ if __name__ == "__main__":
     # batch_mask: steady-state epoch (128 steps) — per-epoch fixed costs
     # (index build + the handful of bounded scalar fetches, ~5 RTTs) are
     # measured against a long epoch, as any real run would amortize them.
-    print(json.dumps(bench_trainer("batch_mask", n_synth=131072)))
     # final: 66k dataset -> 32-step epoch + the full-dataset scoring pass,
     # comparable epoch shape to the reference's CelebA+CIFAR runs.
-    print(json.dumps(bench_trainer("final", n_synth=66000)))
+    sizes = {"batch_mask": 131072, "final": 66000}
+    which = sys.argv[1:] or ["batch_mask", "final"]
+    for preset in which:
+        print(json.dumps(
+            bench_trainer(preset, n_synth=sizes.get(preset, 66000))
+        ), flush=True)

@@ -229,6 +229,15 @@ class TrainConfig:
     # XLA overlap adjacent steps' HBM traffic with MXU work at the cost of a
     # roughly-unroll-times-larger program to compile).
     scan_unroll: int = 1
+    # After a strain event the step count (n_active // batch) is data-
+    # dependent; fetching it costs one blocking device round trip (~28 ms
+    # remote) that serializes the scoring pass against the first training
+    # dispatch.  With this on, epochs with no console step logging and no
+    # mid-epoch sampling dispatch a static number of gated chunks (the step
+    # count rides along as a device scalar; dead steps skip behind a
+    # lax.cond) and fetch the packed stats WHILE the chunks run — results
+    # are bitwise identical (tests/test_chunked.py, tests/test_deferred.py).
+    defer_epoch_stats: bool = True
 
 
 @dataclass(frozen=True)

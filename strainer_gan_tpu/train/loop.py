@@ -14,6 +14,15 @@ identity-cached while the mask is unchanged), the epoch-end
 contamination/loss-history fetches (one each), and the bounded
 ``log_every`` console prints; per-step metric collection stays on device
 (obs.metrics buffers device arrays).
+
+Deferred-stats epochs (TrainConfig.defer_epoch_stats, on by default): when a
+strain event makes the step count data-dependent and the epoch needs no
+console step prints or mid-epoch sampling, the Trainer dispatches a STATIC
+number of device-gated chunks (make_gated_chunked_train_step) and performs
+the packed stats fetch while they execute — the ~28 ms remote round trip
+rides under training compute instead of serializing the strain scoring pass
+against the first dispatch.  Results are bitwise identical to the blocking
+path (tests/test_deferred.py).
 """
 from __future__ import annotations
 
@@ -31,7 +40,12 @@ from ..strain.engine import StrainerEngine
 from ..strain.pool import build_fake_pool
 from .schedules import lr_at
 from .state import create_state
-from .steps import StepConfig, make_chunked_train_step, make_train_step
+from .steps import (
+    StepConfig,
+    make_chunked_train_step,
+    make_gated_chunked_train_step,
+    make_train_step,
+)
 
 
 def step_config_from(cfg: ExperimentConfig) -> StepConfig:
@@ -99,6 +113,15 @@ def _cached_chunked_step(gen, disc, scfg: StepConfig, mesh=None,
         _STEP_CACHE[key] = make_chunked_train_step(
             gen, disc, scfg, mesh=mesh, data_sharded=data_sharded,
             unroll=unroll,
+        )
+    return _STEP_CACHE[key]
+
+
+def _cached_gated_step(gen, disc, scfg: StepConfig, unroll: int = 1):
+    key = ("gated", id(gen), id(disc), scfg, unroll)
+    if key not in _STEP_CACHE:
+        _STEP_CACHE[key] = make_gated_chunked_train_step(
+            gen, disc, scfg, unroll=unroll
         )
     return _STEP_CACHE[key]
 
@@ -217,7 +240,9 @@ class Trainer:
         self.strain_quality: List[Dict] = []  # per-strain precision/recall
         self._iters = 0
         self._chunk_fn = None  # lazily-built scan-chunked executor
+        self._gated_fn = None  # device-gated executor (deferred-stats path)
         self._stats_cache = None  # (n_active, tp, n_contam, band_overflow)
+        self._last_steps = None  # deferred path's dispatch-count guess
 
     # ------------------------------------------------------------------- run
     def setup(self):
@@ -231,6 +256,55 @@ class Trainer:
             self.pool = build_fake_pool(
                 self.dataset, outliers, s.fake_pool_fraction, k2
             )
+
+    def _dispatch_epoch_stats(self, active, strain_event: bool):
+        """Enqueue the packed stats program (no fetch).  The dispatch queue
+        is FIFO, so this must run BEFORE the training chunks are enqueued
+        for the fetch in ``_fetch_epoch_stats`` to overlap their compute."""
+        if not strain_event:
+            return None
+        bstats = self.engine.last_band_stats
+        overflow = bstats[1] if bstats is not None else jnp.int32(0)
+        return _epoch_stats(active, self.dataset.source_id, overflow)
+
+    def _fetch_epoch_stats(self, active, strain_event: bool, stats_dev=None):
+        """ONE packed stats fetch per strain event (identity-cached across
+        epochs whose mask didn't change) covers the step count, the strain
+        report, and the ground-truth quality accounting."""
+        if strain_event:
+            if stats_dev is None:
+                stats_dev = self._dispatch_epoch_stats(active, strain_event)
+            self._stats_cache = tuple(int(v) for v in np.asarray(stats_dev))
+            if self._stats_cache[3] and self.engine.last_score_path == "band":
+                # band overflowed (weakly-separating D): score plain-f32 for
+                # the next few strain events before retrying the band — the
+                # overflow path costs bf16 bulk + full f32 (worse than f32
+                # alone), so persistent concentration must not pay it every
+                # epoch (see StrainerEngine.band_cooloff)
+                self.engine.band_cooloff = 5
+        return self._stats_cache
+
+    def _log_strain_event(self, epoch, active, prev_active, n_active,
+                          strain_tp, n_contam_ds):
+        if active is not prev_active:
+            removed = self.dataset.n - n_active
+            self.logger.log_strain(epoch, removed, n_active)
+            # ground-truth strain quality (the reference's contamination
+            # accounting generalized): of the removed samples, how many were
+            # actually contaminants?
+            if removed and n_contam_ds:
+                self.strain_quality.append(
+                    dict(epoch=epoch, removed=removed,
+                         precision=strain_tp / removed,
+                         recall=strain_tp / n_contam_ds)
+                )
+
+    def _warn_no_batches(self, epoch, n_active, bs):
+        self.logger.stream.write(
+            f"[strainer] WARNING epoch {epoch}: 0 full batches "
+            f"({n_active} active samples < batch_size {bs}) — "
+            "no training this epoch\n"
+        )
 
     def run_epoch(self, epoch: int) -> Dict:
         cfg, s, t = self.cfg, self.cfg.strain, self.cfg.train
@@ -249,163 +323,246 @@ class Trainer:
 
         prev_active = self.engine.active
         active = self.engine.on_epoch_start(epoch, self.state, k_strain)
-        if self.logger.collect:
-            self.mask_history.append(np.asarray(active))
-        # ONE packed stats fetch per strain event (identity-cached across
-        # epochs whose mask didn't change) covers the step count, the strain
-        # report, and the ground-truth quality accounting below.
-        if self._stats_cache is None or active is not prev_active:
-            bstats = self.engine.last_band_stats
-            overflow = (
-                bstats[1] if bstats is not None else jnp.int32(0)
-            )
-            self._stats_cache = tuple(
-                int(v)
-                for v in np.asarray(
-                    _epoch_stats(active, self.dataset.source_id, overflow)
-                )
-            )
-            if self._stats_cache[3] and self.engine.last_score_path == "band":
-                # band overflowed (weakly-separating D): score plain-f32 for
-                # the next few strain events before retrying the band — the
-                # overflow path costs bf16 bulk + full f32 (worse than f32
-                # alone), so persistent concentration must not pay it every
-                # epoch (see StrainerEngine.band_cooloff)
-                self.engine.band_cooloff = 5
-        n_active, strain_tp, n_contam_ds = self._stats_cache[:3]
-        if active is not prev_active:
-            removed = self.dataset.n - n_active
-            self.logger.log_strain(epoch, removed, n_active)
-            # ground-truth strain quality (the reference's contamination
-            # accounting generalized): of the removed samples, how many were
-            # actually contaminants?
-            if removed and n_contam_ds:
-                self.strain_quality.append(
-                    dict(epoch=epoch, removed=removed,
-                         precision=strain_tp / removed,
-                         recall=strain_tp / n_contam_ds)
-                )
+        strain_event = self._stats_cache is None or active is not prev_active
 
         lr_g = lr_at(t.lr_g, epoch, t)
         lr_d = lr_at(t.lr_d, epoch, t)
-
         bs = cfg.data.batch_size
-        if cfg.data.drop_last:
-            steps = n_active // bs
-        else:
-            steps = -(-n_active // bs)
         from ..data.pipeline import epoch_batch_indices
-
-        idx = epoch_batch_indices(k_perm, active, steps, bs)
-        if steps == 0:
-            self.logger.stream.write(
-                f"[strainer] WARNING epoch {epoch}: 0 full batches "
-                f"({n_active} active samples < batch_size {bs}) — "
-                "no training this epoch\n"
-            )
 
         mask_on = s.method == "batch_quantile_mask" and epoch >= s.mask_start_epoch
         recycle_on = s.fake_concat == "in_batch" and epoch >= s.fake_concat_start_epoch
         concat_on = s.fake_concat == "pool" and epoch >= s.fake_concat_start_epoch
         d_train = not self.engine.d_bn_eval
-
-        step_keys = jax.random.split(k_steps, max(steps, 1))
         gate = bool(mask_on or recycle_on)
         concat_gate = jnp.asarray(concat_on)
+        chunk = max(1, t.steps_per_dispatch)
+        sampling = bool(t.sample_every and self.logger.collect)
         loss_parts = []  # per-sample real losses, device, (b,) or (chunk, b)
         contam_parts = []  # device scalars / (chunk,) arrays
         filtered_parts = []
         last_metrics = None
         last_was_chunk = False
 
-        def run_one(i):
-            # no-mesh per-step execution; dp runs route through run_chunk
-            # (length 1) so the chunked executor's shardings apply
-            nonlocal last_metrics, last_was_chunk
-            batch = self.dataset.gather(idx[i])
-            src = jnp.take(self.dataset.source_id, idx[i], axis=0)
-            self.state, metrics = self.step_fn(
-                self.state, batch, src, step_keys[i], lr_g, lr_d,
-                gate, concat_gate, self.pool, d_train,
-            )
-            self.logger.log_step(epoch, t.epochs, i, steps, metrics)
-            if mask_on:
-                contam_parts.append(metrics["n_contam"])
-                filtered_parts.append(metrics["n_filtered_contam"])
-            if self.logger.collect:
-                loss_parts.append(metrics["real_loss_per_sample"])
-            last_metrics = metrics
-            last_was_chunk = False
-
-        def run_chunk(c0, n):
-            nonlocal last_metrics, last_was_chunk
-            sl = slice(c0, c0 + n)
-            idx_sl, keys_sl = idx[sl], step_keys[sl]
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                # shard the index matrix along its batch axis; each device
-                # gathers its own batch shard inside the scan
-                idx_sl = jax.device_put(
-                    idx_sl,
-                    NamedSharding(self.mesh, P(None, self.mesh.axis_names[0])),
-                )
-                keys_sl = jax.device_put(
-                    keys_sl, NamedSharding(self.mesh, P())
-                )
-            self.state, metrics = self._chunk_fn(
-                self.state, self.dataset.images, self.dataset.source_id,
-                idx_sl, keys_sl, lr_g, lr_d, gate, concat_gate,
-                self.pool, d_train,
-            )
-            self.logger.log_chunk(epoch, t.epochs, c0, steps, metrics, n)
-            if mask_on:
-                contam_parts.append(metrics["n_contam"])
-                filtered_parts.append(metrics["n_filtered_contam"])
-            if self.logger.collect:
-                loss_parts.append(metrics["real_loss_per_sample"])
-            last_metrics = metrics
-            last_was_chunk = True
-
-        # Scan-chunked execution (steps_per_dispatch steps per device
-        # dispatch; see make_chunked_train_step), segmented so that every
-        # fixed-noise sample point is hit EXACTLY: the epoch's [0, steps) is
-        # split into segments ending right after each sample-point iteration
-        # (`#%basic.py:300-304` samples per-iter mid-epoch); each segment
-        # runs as full chunks plus a per-step remainder.  Only two compiled
-        # shapes exist (`chunk` and single-step).  Under a dp mesh the
-        # remainder reuses the chunked executor at length 1 (its shardings
-        # are declared once; the plain per-step fn stays the no-mesh path).
-        chunk = max(1, t.steps_per_dispatch)
-        sampling = bool(t.sample_every and self.logger.collect)
-        use_chunk_exec = chunk > 1 or self.mesh is not None
-        if use_chunk_exec and self._chunk_fn is None:
-            self._chunk_fn = _cached_chunked_step(
-                self.gen, self.disc, self.scfg, mesh=self.mesh,
-                data_sharded=self.multihost, unroll=max(1, t.scan_unroll),
-            )
-        step_exec = (
-            (lambda i: run_chunk(i, 1)) if self.mesh is not None else run_one
+        # Deferred-stats epochs (strain event + no console step logging + no
+        # mid-epoch sampling): the step count stays a device scalar and the
+        # gated chunked executor dispatches a STATIC number of chunks, so the
+        # packed stats fetch below overlaps training compute instead of
+        # serializing the scoring pass against the first dispatch (~28 ms
+        # saved per strain event on a remote-attached chip).  Results are
+        # bitwise identical: live steps run the same step program with the
+        # same per-step keys (split(k, n)[:m] == split(k, m)), and all
+        # accounting is trimmed to the live rows once the count arrives.
+        deferred = (
+            t.defer_epoch_stats and strain_event and self.mesh is None
+            and chunk > 1 and not sampling and not t.log_every
         )
-        pos = 0
-        while pos < steps:
-            if sampling:
-                # next step index whose global iter is a sample point
-                until = (-(self._iters + pos)) % t.sample_every
-                boundary = min(pos + until + 1, steps)
-                sample_here = pos + until < steps
+
+        if not deferred:
+            if self.logger.collect:
+                self.mask_history.append(np.asarray(active))
+            n_active, strain_tp, n_contam_ds = self._fetch_epoch_stats(
+                active, strain_event
+            )[:3]
+            self._log_strain_event(
+                epoch, active, prev_active, n_active, strain_tp, n_contam_ds
+            )
+            if cfg.data.drop_last:
+                steps = n_active // bs
             else:
-                boundary, sample_here = steps, False
-            n_seg = boundary - pos
-            if chunk > 1:
-                for _ in range(n_seg // chunk):
-                    run_chunk(pos, chunk)
-                    pos += chunk
-            while pos < boundary:
-                step_exec(pos)
-                pos += 1
-            if sample_here:
-                self.img_list.append(self.sample())
+                steps = -(-n_active // bs)
+            self._last_steps = steps
+            idx = epoch_batch_indices(
+                k_perm, active, steps, bs,
+                all_active=self.engine.last_mask is None,
+            )
+            if steps == 0:
+                self._warn_no_batches(epoch, n_active, bs)
+            step_keys = jax.random.split(k_steps, max(steps, 1))
+
+            def run_one(i):
+                # no-mesh per-step execution; dp runs route through run_chunk
+                # (length 1) so the chunked executor's shardings apply
+                nonlocal last_metrics, last_was_chunk
+                batch = self.dataset.gather(idx[i])
+                src = jnp.take(self.dataset.source_id, idx[i], axis=0)
+                self.state, metrics = self.step_fn(
+                    self.state, batch, src, step_keys[i], lr_g, lr_d,
+                    gate, concat_gate, self.pool, d_train,
+                )
+                self.logger.log_step(epoch, t.epochs, i, steps, metrics)
+                if mask_on:
+                    contam_parts.append(metrics["n_contam"])
+                    filtered_parts.append(metrics["n_filtered_contam"])
+                if self.logger.collect:
+                    loss_parts.append(metrics["real_loss_per_sample"])
+                last_metrics = metrics
+                last_was_chunk = False
+
+            def run_chunk(c0, n):
+                nonlocal last_metrics, last_was_chunk
+                sl = slice(c0, c0 + n)
+                idx_sl, keys_sl = idx[sl], step_keys[sl]
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    # shard the index matrix along its batch axis; each
+                    # device gathers its own batch shard inside the scan
+                    idx_sl = jax.device_put(
+                        idx_sl,
+                        NamedSharding(
+                            self.mesh, P(None, self.mesh.axis_names[0])
+                        ),
+                    )
+                    keys_sl = jax.device_put(
+                        keys_sl, NamedSharding(self.mesh, P())
+                    )
+                self.state, metrics = self._chunk_fn(
+                    self.state, self.dataset.images, self.dataset.source_id,
+                    idx_sl, keys_sl, lr_g, lr_d, gate, concat_gate,
+                    self.pool, d_train,
+                )
+                self.logger.log_chunk(epoch, t.epochs, c0, steps, metrics, n)
+                if mask_on:
+                    contam_parts.append(metrics["n_contam"])
+                    filtered_parts.append(metrics["n_filtered_contam"])
+                if self.logger.collect:
+                    loss_parts.append(metrics["real_loss_per_sample"])
+                last_metrics = metrics
+                last_was_chunk = True
+
+            # Scan-chunked execution (steps_per_dispatch steps per device
+            # dispatch; see make_chunked_train_step), segmented so that every
+            # fixed-noise sample point is hit EXACTLY: the epoch's [0, steps)
+            # is split into segments ending right after each sample-point
+            # iteration (`#%basic.py:300-304` samples per-iter mid-epoch);
+            # each segment runs as full chunks plus a per-step remainder.
+            # Only two compiled shapes exist (`chunk` and single-step).
+            # Under a dp mesh the remainder reuses the chunked executor at
+            # length 1 (its shardings are declared once; the plain per-step
+            # fn stays the no-mesh path).
+            use_chunk_exec = chunk > 1 or self.mesh is not None
+            if use_chunk_exec and self._chunk_fn is None:
+                self._chunk_fn = _cached_chunked_step(
+                    self.gen, self.disc, self.scfg, mesh=self.mesh,
+                    data_sharded=self.multihost, unroll=max(1, t.scan_unroll),
+                )
+            step_exec = (
+                (lambda i: run_chunk(i, 1)) if self.mesh is not None else run_one
+            )
+            pos = 0
+            while pos < steps:
+                if sampling:
+                    # next step index whose global iter is a sample point
+                    until = (-(self._iters + pos)) % t.sample_every
+                    boundary = min(pos + until + 1, steps)
+                    sample_here = pos + until < steps
+                else:
+                    boundary, sample_here = steps, False
+                n_seg = boundary - pos
+                if chunk > 1:
+                    for _ in range(n_seg // chunk):
+                        run_chunk(pos, chunk)
+                        pos += chunk
+                while pos < boundary:
+                    step_exec(pos)
+                    pos += 1
+                if sample_here:
+                    self.img_list.append(self.sample())
+        else:
+            # ---- deferred-stats dispatch: static chunk count, device-gated
+            # step capacity from the permanent base (host-known: _set_base
+            # materialized the subset length at the last permanent strain)
+            sub = self.engine._base_subset
+            cap_n = int(sub.shape[0]) if sub is not None else self.dataset.n
+            if cfg.data.drop_last:
+                max_steps = cap_n // bs
+            else:
+                max_steps = -(-cap_n // bs)
+            cap_chunks = max(1, -(-max_steps // chunk))
+            # enqueue the stats program FIRST (FIFO queue): it executes right
+            # after the strain scoring, so its fetch below completes while
+            # the training chunks are still crunching
+            stats_dev = self._dispatch_epoch_stats(active, strain_event)
+            idx = epoch_batch_indices(
+                k_perm, active, cap_chunks * chunk, bs,
+                all_active=self.engine.last_mask is None,
+            )
+            step_keys = jax.random.split(k_steps, cap_chunks * chunk)
+            from ..data.pipeline import device_step_count
+
+            n_valid = device_step_count(active, bs, cfg.data.drop_last)
+            if self._gated_fn is None:
+                self._gated_fn = _cached_gated_step(
+                    self.gen, self.disc, self.scfg,
+                    unroll=max(1, t.scan_unroll),
+                )
+
+            def dispatch_chunk(c):
+                sl = slice(c * chunk, (c + 1) * chunk)
+                self.state, m = self._gated_fn(
+                    self.state, self.dataset.images, self.dataset.source_id,
+                    idx[sl], step_keys[sl], c * chunk, n_valid,
+                    lr_g, lr_d, gate, concat_gate, self.pool, d_train,
+                )
+                chunk_ms.append(m)
+
+            # Dispatch only the chunks the PREVIOUS epoch's step count
+            # suggests (even a fully-dead gated dispatch costs ~14 ms on a
+            # remote-attached chip); the stats fetch below overlaps their
+            # compute, and any shortfall is covered by gated catch-up
+            # dispatches — correctness never depends on the guess, which in
+            # the steady state is exact.
+            guess = self._last_steps if self._last_steps is not None else max_steps
+            guess = min(max(guess, 1), max_steps)
+            n_disp = -(-guess // chunk)
+            chunk_ms = []
+            for c in range(n_disp):
+                dispatch_chunk(c)
+            # the packed stats fetch now rides under the chunks' device time
+            n_active, strain_tp, n_contam_ds = self._fetch_epoch_stats(
+                active, strain_event, stats_dev
+            )[:3]
+            if self.logger.collect:
+                self.mask_history.append(np.asarray(active))
+            self._log_strain_event(
+                epoch, active, prev_active, n_active, strain_tp, n_contam_ds
+            )
+            if cfg.data.drop_last:
+                steps = n_active // bs
+            else:
+                steps = -(-n_active // bs)
+            if steps == 0:
+                self._warn_no_batches(epoch, n_active, bs)
+            self._last_steps = steps
+            # catch-up: the guess undershot (mask grew since last epoch) —
+            # dispatch the remaining chunks now (still ahead of any fetch of
+            # their results, so the pipeline stays full)
+            while n_disp * chunk < steps:
+                dispatch_chunk(n_disp)
+                n_disp += 1
+            # account only the live rows (dead rows carry the previous step's
+            # metrics by construction — see make_gated_chunked_train_step)
+            for c, m in enumerate(chunk_ms):
+                v = min(max(steps - c * chunk, 0), chunk)
+                if v == 0:
+                    break
+                if self.logger.collect:
+                    tm = {k: val[:v] for k, val in m.items()}
+                    loss_parts.append(tm["real_loss_per_sample"])
+                else:
+                    # dead rows carry live values and nothing downstream
+                    # reads past row v-1 (last_metrics indexes [-1], which
+                    # the carry makes equal to row v-1), so skip the
+                    # per-metric device slices — each is a ~1 ms dispatch
+                    # on a remote-attached chip
+                    tm = m
+                self.logger.log_chunk(epoch, t.epochs, c * chunk, steps, tm, v)
+                if mask_on:
+                    contam_parts.append(m["n_contam"][:v])
+                    filtered_parts.append(m["n_filtered_contam"][:v])
+                last_metrics = tm
+                last_was_chunk = True
         self._iters += steps
         if last_was_chunk:
             last_metrics = {k: v[-1] for k, v in last_metrics.items()}

@@ -409,3 +409,92 @@ def make_chunked_train_step(gen, disc, scfg: StepConfig, donate: bool = True,
         )
     return jax.jit(chunked, donate_argnums=donate_argnums,
                    static_argnums=(7, 10))
+
+
+def make_gated_chunked_train_step(gen, disc, scfg: StepConfig,
+                                  donate: bool = True, unroll: int = 1):
+    """Scan-chunked executor whose step count is a DEVICE value.
+
+    The per-epoch step count is data-dependent (``n_active // batch``), and
+    on a remote-attached TPU fetching it costs a ~28 ms round trip that
+    serializes the strain scoring pass against the first training dispatch.
+    This variant takes the count as a traced scalar instead: the Trainer
+    dispatches a static number of chunks covering the *maximum* possible
+    step count and each scan iteration whose global position ``c0 + i`` is
+    past ``n_valid`` skips the step body behind a ``lax.cond`` (the state
+    and the previous step's metrics pass through, so row ``v`` of the
+    stacked metrics is the last live step's values for every dead row
+    ``v >= n_valid``).  The host then fetches the packed epoch stats WHILE
+    the chunks execute, hiding the round trip under device compute
+    (train/loop.py's deferred-stats path).
+
+    Live steps are bitwise identical to ``make_chunked_train_step`` — the
+    scan body calls the same ``_build_step_body`` program — and dead
+    iterations cost only the conditional (no gather, no matmuls); asserted
+    by tests/test_chunked.py.
+
+    Returns ``gated(state, data_u8, source_id_all, idx, keys, c0, n_valid,
+    lr_g, lr_d, mask_on, concat_on, pool_u8, d_train)`` with ``c0`` the
+    chunk's global starting step index and ``n_valid`` the epoch's live
+    step count (both traced int32 scalars).
+    """
+    step = _build_step_body(gen, disc, scfg, stem_share=True)
+
+    def gated(state, data_u8, source_id_all, idx, keys, c0, n_valid,
+              lr_g, lr_d, mask_on=False, concat_on=False, pool_u8=None,
+              d_train=True):
+        b_sh = jax.ShapeDtypeStruct(
+            (idx.shape[1],) + data_u8.shape[1:], data_u8.dtype
+        )
+        s_sh = jax.ShapeDtypeStruct((idx.shape[1],), source_id_all.dtype)
+        # metrics skeleton for dead rows before the first live step (the
+        # deferred path never reads rows past n_valid, so zeros are fine)
+        m_shapes = jax.eval_shape(
+            lambda st, bx, sx, k: step(st, bx, sx, k, lr_g, lr_d,
+                                       mask_on, concat_on, pool_u8, d_train),
+            state, b_sh, s_sh, keys[0],
+        )[1]
+        zeros_m = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), m_shapes
+        )
+        positions = c0 + jnp.arange(idx.shape[0], dtype=jnp.int32)
+
+        def body(carry, inp):
+            st, last_m = carry
+            ix, k, pos = inp
+
+            def live(_):
+                batch = jnp.take(data_u8, ix, axis=0)
+                src = jnp.take(source_id_all, ix, axis=0)
+                return step(st, batch, src, k, lr_g, lr_d,
+                            mask_on, concat_on, pool_u8, d_train)
+
+            st2, m = jax.lax.cond(
+                pos < n_valid, live, lambda _: (st, last_m), None
+            )
+            return (st2, m), m
+
+        def run_chunk(st):
+            (st, _), ms = jax.lax.scan(
+                body, (st, zeros_m), (idx, keys, positions), unroll=unroll
+            )
+            return st, ms
+
+        def skip_chunk(st):
+            # a fully-dead chunk must not pay the per-iteration carry copies
+            # of 32 false conds (~17 ms measured on v5e at the DCGAN-64
+            # state size) — one outer cond skips the whole scan
+            dead = jax.tree.map(
+                lambda z: jnp.zeros((idx.shape[0],) + z.shape, z.dtype),
+                zeros_m,
+            )
+            return st, dead
+
+        state, metrics = jax.lax.cond(
+            positions[0] < n_valid, run_chunk, skip_chunk, state
+        )
+        return state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(gated, donate_argnums=donate_argnums,
+                   static_argnums=(9, 12))

@@ -162,3 +162,40 @@ def test_inception_features_shape():
     f = build_feature_fn("inception_v3")
     x = jnp.zeros((2, 299, 299, 3), jnp.float32)
     assert f(x).shape == (2, 2048)
+
+
+def test_trace_sqrtm_ns_matches_eigh(rng):
+    """Newton–Schulz trace (the TPU-fast FID path) vs the eigh path on an
+    anisotropic well-conditioned covariance pair (the FID@50k regime)."""
+    from strainer_gan_tpu.ops.sqrtm import (
+        trace_sqrtm_product,
+        trace_sqrtm_product_ns,
+    )
+
+    d = 256
+    a = (rng.standard_normal((2048, d)) * np.exp(rng.standard_normal(d)))
+    b = rng.standard_normal((2048, d)) * 1.3 + 0.2
+    s1 = jnp.asarray(np.cov(a, rowvar=False) + np.eye(d) * 1e-6, jnp.float32)
+    s2 = jnp.asarray(np.cov(b, rowvar=False) + np.eye(d) * 1e-6, jnp.float32)
+    t_eigh = float(trace_sqrtm_product(s1, s2))
+    t_ns = float(trace_sqrtm_product_ns(s1, s2))
+    np.testing.assert_allclose(t_ns, t_eigh, rtol=1e-3)
+
+
+def test_frechet_ns_fallback_rank_deficient(rng):
+    """Severely rank-deficient covariances (n << d, spectrum floored at the
+    1e-6 regularizer) can overrun f32 in the NS iterate; frechet_distance
+    must stay finite (in-graph eigh fallback) and agree with the eigh path."""
+    from strainer_gan_tpu.ops.sqrtm import frechet_distance
+
+    d, n = 512, 60
+    a = rng.standard_normal((n, d)) * np.exp(rng.standard_normal(d))
+    b = rng.standard_normal((n, d)) * 1.3 + 0.2
+    mu1 = jnp.asarray(a.mean(0), jnp.float32)
+    mu2 = jnp.asarray(b.mean(0), jnp.float32)
+    s1 = jnp.asarray(np.cov(a, rowvar=False) + np.eye(d) * 1e-6, jnp.float32)
+    s2 = jnp.asarray(np.cov(b, rowvar=False) + np.eye(d) * 1e-6, jnp.float32)
+    got = float(frechet_distance(mu1, s1, mu2, s2))
+    want = float(frechet_distance(mu1, s1, mu2, s2, method="eigh"))
+    assert np.isfinite(got)
+    np.testing.assert_allclose(got, want, rtol=1e-3)
