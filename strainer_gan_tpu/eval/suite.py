@@ -88,9 +88,21 @@ def evaluate_run(
     out: Dict[str, float] = {}
     in_ch = cfg.model.nc
     if ev.feature_distance or ev.wasserstein:
+        from .fid import batched_feature_pass
+
         ffn = build_feature_fn(feature_name, channels=in_ch)
-        rf = ffn(reals if in_ch == 3 else jnp.repeat(reals, 3, -1))
-        gf = ffn(fakes if in_ch == 3 else jnp.repeat(fakes, 3, -1))
+
+        def _feats(x):
+            x = x if in_ch == 3 else jnp.repeat(x, 3, -1)
+            # bounded per-batch programs instead of one n_samples-sized
+            # forward (unbounded activation memory at eval scale); eval-mode
+            # BN makes features batch-composition-independent
+            return batched_feature_pass(
+                x, ffn, batch_size=min(256, x.shape[0]), keep_all=True
+            )
+
+        rf = _feats(reals)
+        gf = _feats(fakes)
         if ev.feature_distance:
             out["feature_distance_real"] = float(mean_feature_distance(rf, gf))
         if ev.wasserstein:
@@ -99,7 +111,7 @@ def evaluate_run(
             contams = normalize_u8(
                 jnp.take(dataset.images, jnp.asarray(contam_idx), 0), jnp.float32
             )
-            cf = ffn(contams if in_ch == 3 else jnp.repeat(contams, 3, -1))
+            cf = _feats(contams)
             if ev.feature_distance:
                 out["feature_distance_contaminant"] = float(
                     mean_feature_distance(cf, gf)

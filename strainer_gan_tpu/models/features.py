@@ -23,20 +23,23 @@ from .resnet import (
 )
 
 _cache = {}
+_wrapper_cache = {}
 
 
-def _build(name: str, in_channels: int, seed: int = 0):
-    key = (name, in_channels)
+def _build(name: str, in_channels: int, seed: int = 0,
+           compute_dtype: str = "float32"):
+    key = (name, in_channels, compute_dtype)
     if key in _cache:
         return _cache[key]
+    dt = jnp.dtype(compute_dtype)
     if name.startswith("resnet18"):
-        model = resnet18_features(in_channels)
+        model = resnet18_features(in_channels).clone(compute_dtype=dt)
         block, stages, sd_name = "basic", (2, 2, 2, 2), "resnet18"
     elif name.startswith("resnet50"):
-        model = resnet50_features(in_channels)
+        model = resnet50_features(in_channels).clone(compute_dtype=dt)
         block, stages, sd_name = "bottleneck", (3, 4, 6, 3), "resnet50"
     elif name == "inception_v3":
-        model = InceptionV3Features()
+        model = InceptionV3Features(compute_dtype=dt)
         block = stages = sd_name = None
     else:
         raise ValueError(f"unknown feature extractor {name!r}")
@@ -65,14 +68,24 @@ def _build(name: str, in_channels: int, seed: int = 0):
 
 
 def build_feature_fn(name: str, channels: int = 3,
-                     flatten_input_hw: Optional[tuple] = None) -> Callable:
+                     flatten_input_hw: Optional[tuple] = None,
+                     compute_dtype: str = "float32") -> Callable:
     """Return ``f(batch_images_normalized) -> (N, D) features``.
 
     ``flatten_input_hw``: reshape (N, H*W*C) MLP-path batches back to images
     (the MNIST pipeline scores images, `# 1,2,8.py:158-161`).
+
+    ``compute_dtype``: conv/BN compute precision.  Feature-space strain
+    DECISIONS stay on the default f32 (the mask-parity invariant —
+    docs/PARITY.md); "bfloat16" is the eval-throughput option for metric
+    pipelines that tolerate ~1e-2 relative feature drift (EvalConfig
+    selects it explicitly, never the strainers).
     """
     in_ch = 1 if name.endswith("_1ch") else channels
-    fn = _build(name, in_ch)
+    wkey = (name, in_ch, flatten_input_hw, compute_dtype)
+    if wkey in _wrapper_cache:  # stable identity: callers key caches on id()
+        return _wrapper_cache[wkey]
+    fn = _build(name, in_ch, compute_dtype=compute_dtype)
 
     def f(x):
         if flatten_input_hw is not None and x.ndim == 2:
@@ -80,4 +93,5 @@ def build_feature_fn(name: str, channels: int = 3,
             x = x.reshape(x.shape[0], h, w, in_ch)
         return fn(x)
 
+    _wrapper_cache[wkey] = f
     return f
