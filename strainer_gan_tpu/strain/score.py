@@ -132,8 +132,11 @@ def score_d_losses(
                 unroll=unroll,
             )
 
-        _D_SCORE_CACHE[key] = (scorer, scorer_subset)
-    scorer, scorer_subset = _D_SCORE_CACHE[key]
+        # hold a strong ref to disc: the key uses id(), which CPython may
+        # reuse after garbage collection (same hazard eval/fid.py guards
+        # against in _BATCH_PROG_CACHE)
+        _D_SCORE_CACHE[key] = (scorer, scorer_subset, disc)
+    scorer, scorer_subset = _D_SCORE_CACHE[key][:2]
     if subset is not None:
         return scorer_subset(d_params, d_stats, dataset.images, subset)
     return scorer(d_params, d_stats, dataset.images)
@@ -351,8 +354,10 @@ def fused_percentile_refine(
             ])
             return mask, thr, s_final, stats
 
-        _BAND_CACHE[key] = refine
-    refine = _BAND_CACHE[key]
+        # strong disc ref: id()-keyed caches must outlive id reuse (see
+        # _D_SCORE_CACHE / eval/fid.py)
+        _BAND_CACHE[key] = (refine, disc)
+    refine = _BAND_CACHE[key][0]
     subset_arg = subset if subset is not None else jnp.zeros((0,), jnp.int32)
     return refine(
         d_params, d_stats, dataset.images, valid,
@@ -384,5 +389,6 @@ def score_ae_errors(
 
             return _scan_batches(apply_fn, images, batch_size)
 
-        _AE_SCORE_CACHE[key] = scorer
-    return _AE_SCORE_CACHE[key](ae_params, dataset.images)
+        # strong ae ref: id()-keyed caches must outlive id reuse
+        _AE_SCORE_CACHE[key] = (scorer, ae)
+    return _AE_SCORE_CACHE[key][0](ae_params, dataset.images)
