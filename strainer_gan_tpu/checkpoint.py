@@ -37,6 +37,12 @@ def save_checkpoint(path: str, trainer, epoch: int) -> str:
             # (`#autoencoder.py:296-305`); resuming past that epoch without
             # these params would silently disable straining forever.
             payload["ae_params"] = trainer.engine.ae_params
+        if trainer.engine.last_mask is not None:
+            # the last strain decision mask: one-shot strainers (zscore preset,
+            # strain once at epoch 3 `#z_score.py:309-321`) never re-strain, so
+            # a resume that lost this mask would let the epoch sampler take its
+            # all-active fast path and train on strained-out samples.
+            payload["last_mask"] = trainer.engine.last_mask
         ckptr.save(os.path.join(path, f"epoch_{epoch}"), payload, force=True)
     with open(os.path.join(path, "config.json"), "w") as f:
         f.write(trainer.cfg.to_json())
@@ -47,6 +53,8 @@ def save_checkpoint(path: str, trainer, epoch: int) -> str:
                 d_bn_eval=trainer.engine.d_bn_eval,
                 iters=trainer._iters,
                 has_ae=trainer.engine.ae_params is not None,
+                has_last_mask=trainer.engine.last_mask is not None,
+                band_cooloff=trainer.engine.band_cooloff,
             ),
             f,
         )
@@ -86,6 +94,8 @@ def restore_checkpoint(path: str, trainer, epoch: Optional[int] = None) -> int:
             template["ae_params"] = trainer.engine.build_ae(
                 jax.random.PRNGKey(0)
             )
+        if meta.get("has_last_mask"):
+            template["last_mask"] = trainer.engine.active
         payload = ckptr.restore(os.path.join(path, f"epoch_{epoch}"), template)
     trainer.state = payload["state"]
     trainer.engine.active = payload["active"]
@@ -96,6 +106,9 @@ def restore_checkpoint(path: str, trainer, epoch: Optional[int] = None) -> int:
         trainer.pool = payload["pool"]
     if meta.get("has_ae"):
         trainer.engine.ae_params = payload["ae_params"]
+    if meta.get("has_last_mask"):
+        trainer.engine.last_mask = payload["last_mask"]
+    trainer.engine.band_cooloff = meta.get("band_cooloff", 0)
     trainer.engine.d_bn_eval = meta.get("d_bn_eval", False)
     trainer._iters = meta.get("iters", 0)
     return epoch + 1

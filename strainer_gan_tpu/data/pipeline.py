@@ -41,29 +41,34 @@ def epoch_batch_indices(
     floor(n_active/batch_size) (drop_last semantics) every batch contains
     only active samples, each at most once — exactly
     ``DataLoader(Subset(...), shuffle=True, drop_last=True)``.  When ``num``
-    is the ceiling (drop_last=False), positions past the active count wrap
-    around to the start of the shuffled actives so the tail batch never
-    touches inactive samples (the static-shape analog of a partial batch).
+    is the ceiling (drop_last=False), the first ``n_active`` positions cover
+    every active sample exactly once and positions past the active count
+    wrap around to the start of the shuffled actives — the wrapped lanes are
+    the zero-weight PADDING of the exact partial tail batch (the step masks
+    them out via ``lane_count``; see train/steps.py), so drop_last=False
+    epochs reproduce the reference DataLoader's partial final batch.
+
+    ONE composite-key argsort does both the shuffle and the actives-first
+    partition (a permutation is itself a sort of random bits, so a
+    permutation + stable-argsort would spend two 66k sorts per epoch where
+    one suffices).  Key = inactive-bit << 31 | 31 random bits: actives land
+    first in uniformly random order.  The ~1-per-4-billion random-bit
+    collision resolves by index order — immaterial next to the documented
+    RNG-stream deviation from torch's RandomSampler (docs/PARITY.md).
 
     ``all_active``: static promise that ``active`` is all-True (no strain
-    has ever engaged).  The stable partition of an all-False key is the
-    identity, so the fast path returns exactly the same indices while
-    skipping the argsort (~10 ms/epoch on 131k rows).
+    decision exists).  Skips the mask/where/sum work but sorts the SAME
+    random keys, so the returned indices are bitwise identical to the
+    general path on an all-True mask — callers that derive the promise
+    differently (blocking vs deferred epochs, train/loop.py) can never
+    diverge on the sampled indices.
     """
     n = active.shape[0]
-    if all_active:
-        perm = jax.random.permutation(key, n)
-        pos = jnp.arange(num * batch_size) % n
-        return perm[pos].reshape(num, batch_size)
-    # ONE composite-key argsort does both the shuffle and the actives-first
-    # partition (a permutation is itself a sort of random bits, so the
-    # previous permutation + stable-argsort spent two 66k sorts per epoch
-    # where one suffices).  Key = inactive-bit << 31 | 31 random bits:
-    # actives land first in uniformly random order.  The ~1-per-4-billion
-    # random-bit collision resolves by index order — immaterial next to the
-    # documented RNG-stream deviation from torch's RandomSampler
-    # (docs/PARITY.md).
     r = jax.random.bits(key, (n,), jnp.uint32) >> jnp.uint32(1)
+    if all_active:
+        shuffled = jnp.argsort(r)
+        pos = jnp.arange(num * batch_size) % n
+        return shuffled[pos].reshape(num, batch_size)
     composite = jnp.where(
         active, jnp.uint32(0), jnp.uint32(1) << jnp.uint32(31)
     ) | r
@@ -71,6 +76,18 @@ def epoch_batch_indices(
     n_active = jnp.maximum(jnp.sum(active), 1)
     pos = jnp.arange(num * batch_size) % n_active
     return shuffled[pos].reshape(num, batch_size)
+
+
+@partial(jax.jit, static_argnames=("batch_size",))
+def device_full_and_tail(active: jnp.ndarray, batch_size: int) -> jnp.ndarray:
+    """``[n_active // batch, n_active % batch]`` as ONE device vector.
+
+    The deferred-stats path (train/loop.py) runs full batches through the
+    gated chunked executor and the drop_last=False partial tail through the
+    gated tail step — both counts stay device scalars so no host fetch
+    serializes the strain event against the first training dispatch."""
+    n_active = jnp.sum(active.astype(jnp.int32))
+    return jnp.stack([n_active // batch_size, n_active % batch_size])
 
 
 @partial(jax.jit, static_argnames=("batch_size", "drop_last"))

@@ -306,22 +306,35 @@ class StrainerEngine:
         opt = tx.init(params)
 
         @jax.jit
-        def ae_step(params, opt, batch_u8):
+        def ae_step(params, opt, batch_u8, w):
             x = normalize_u8(batch_u8, jnp.float32)
 
             def loss_fn(p):
                 recon = self.ae.apply({"params": p}, x)
-                return jnp.mean((recon - x) ** 2)
+                per = jnp.mean(
+                    (recon - x) ** 2, axis=tuple(range(1, x.ndim))
+                )
+                # weighted mean of per-sample means == torch MSELoss over the
+                # ACTUAL (possibly partial) batch — the reference AE loader
+                # keeps drop_last=False (`#autoencoder.py:296-305`), so its
+                # last batch each epoch is smaller; pad lanes carry weight 0
+                return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt = tx.update(grads, opt, params)
             return optax.apply_updates(params, updates), opt, loss
 
         bs = cfg.data.batch_size
+        n_act = int(jnp.sum(self.active))
+        tail = n_act % bs
+        ones = jnp.ones((bs,), jnp.float32)
+        tail_w = (jnp.arange(bs) < tail).astype(jnp.float32)
         for ep in range(self.sc.ae_train_epochs):
             key, k = jax.random.split(key)
             idx = self.dataset.epoch_indices(k, self.active, bs, drop_last=False)
-            for b in range(idx.shape[0]):
+            rows = idx.shape[0]
+            for b in range(rows):
                 batch = self.dataset.gather(idx[b])
-                params, opt, _ = ae_step(params, opt, batch)
+                w = tail_w if (tail and b == rows - 1) else ones
+                params, opt, _ = ae_step(params, opt, batch, w)
         self.ae_params = params
