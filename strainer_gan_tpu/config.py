@@ -58,6 +58,12 @@ class DataConfig:
     batch_size: int = 128
     mixer: str = "shuffled_combined"
     flatten: bool = False  # MNIST MLP path reshapes to (N, 784) (`#8.py:117`)
+    # torch DataLoader semantics per reference script: the MNIST loaders pass
+    # drop_last=True (`#8.py:50`, `# 1,2,8.py:79`); every CelebA-family loader
+    # keeps torch's default False (`#%basic.py:76`) and trains one exact
+    # partial batch per epoch (lane-masked static-shape step; train/steps.py).
+    # Field default True = the TPU-friendly static-shape choice for ad-hoc
+    # configs; presets encode each script's actual semantics.
     drop_last: bool = True
     seed: int = 999
     # adaptive batch rule: batch = min(max(n // divisor, 16), 64)
@@ -215,6 +221,12 @@ class TrainConfig:
     log_every: int = 50
     sample_every: int = 500
     fixed_noise_n: int = 64
+    # The reference samples fixed-noise grids with netG still in TRAIN mode
+    # under no_grad (`#%basic.py:301-303` — no .eval() call anywhere), i.e.
+    # BatchNorm uses the fixed-noise batch's own statistics.  False = use
+    # running averages (a conventional eval-mode sample; deviation, see
+    # docs/PARITY.md).
+    sample_train_bn: bool = True
     # failure detection (SURVEY §5): verify params are finite at epoch ends
     check_finite: bool = False
     # scan-fused steps per device dispatch (train/steps.py
@@ -311,19 +323,24 @@ class ExperimentConfig:
 # ---------------------------------------------------------------------------
 # Preset registry — one preset per reference script (SURVEY.md §2.1).
 
+# drop_last=False everywhere below: every CelebA-family reference loader
+# keeps torch's default (`#%basic.py:76`), so each epoch ends in one exact
+# partial batch (its own BN statistics) — see DataConfig.drop_last.
 _CELEBA_DATA = DataConfig(
-    sources=(SourceSpec("celeba"),), image_size=64, channels=3, batch_size=128
+    sources=(SourceSpec("celeba"),), image_size=64, channels=3,
+    batch_size=128, drop_last=False,
 )
 _CELEBA_CIFAR20K = DataConfig(
     sources=(SourceSpec("celeba"), SourceSpec("cifar10", count=20000)),
-    mixer="shuffled_combined",
+    mixer="shuffled_combined", drop_last=False,
 )
 _CELEBA_CIFAR_FULL = DataConfig(
     sources=(SourceSpec("celeba"), SourceSpec("cifar10")),
-    mixer="shuffled_combined",
+    mixer="shuffled_combined", drop_last=False,
 )
 _CELEBA_ANIME = DataConfig(
-    sources=(SourceSpec("celeba"), SourceSpec("anime")), mixer="combined"
+    sources=(SourceSpec("celeba"), SourceSpec("anime")), mixer="combined",
+    drop_last=False,
 )
 _MNIST_MLP_MODEL = ModelConfig(arch="mlp", nc=1, img_size=784)
 _MNIST_128_MODEL = ModelConfig(
@@ -385,7 +402,7 @@ _register(ExperimentConfig(
     name="celeba_dog_baseline",  # `Untitled-5.py` — CelebA+CIFAR-dog, FID, no strain
     data=DataConfig(sources=(SourceSpec("celeba"),
                              SourceSpec("cifar10", class_filter=(5,))),
-                    mixer="shuffled_combined"),
+                    mixer="shuffled_combined", drop_last=False),
     train=TrainConfig(epochs=5),
     eval=EvalConfig(fid=True),
 ))
@@ -439,7 +456,7 @@ _register(ExperimentConfig(
     name="zscore_loss",  # `# z_score + loss.py` — z prefilter + loss refine
     data=_CELEBA_CIFAR_FULL.__class__(
         sources=(SourceSpec("celeba"), SourceSpec("cifar10")),
-        mixer="shuffled_combined", seed=1),
+        mixer="shuffled_combined", seed=1, drop_last=False),
     train=TrainConfig(epochs=10, seed=1),
     strain=StrainConfig(method="loss_percentile", prefilter=True,
                         z_threshold=None, start_epoch=3, every_epoch=True,
@@ -449,7 +466,7 @@ _register(ExperimentConfig(
     name="batch_mask",  # `# 상위 10% loss값...X.py` — per-batch quantile mask
     data=DataConfig(sources=(SourceSpec("celeba"),
                              SourceSpec("cifar10", fraction_of_primary=0.1)),
-                    mixer="labeled"),
+                    mixer="labeled", drop_last=False),
     train=TrainConfig(epochs=20),
     strain=StrainConfig(method="batch_quantile_mask", mask_quantile=0.1,
                         mask_start_epoch=10),

@@ -60,6 +60,18 @@ def quantile(x: jnp.ndarray, q: jnp.ndarray | float) -> jnp.ndarray:
     return jnp.quantile(x, q, method="linear")
 
 
+def masked_quantile(
+    x: jnp.ndarray, valid: jnp.ndarray, q: float | jnp.ndarray
+) -> jnp.ndarray:
+    """``torch.quantile(x[valid], q)`` with static shapes.
+
+    The per-batch strain mask computes its quantile over the ACTUAL batch
+    (`# 상위 10%...X.py:284`); on a partial final batch (drop_last=False,
+    `#%basic.py:76`) that is the valid prefix only — interpolation position
+    q*(n_valid-1), not q*(b-1)."""
+    return masked_percentile(x, valid, jnp.asarray(q, jnp.float32) * 100.0)
+
+
 def masked_percentile(x: jnp.ndarray, valid: jnp.ndarray, q: float | jnp.ndarray) -> jnp.ndarray:
     """Linear-interpolation percentile over only the ``valid`` entries.
 

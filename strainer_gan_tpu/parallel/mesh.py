@@ -79,7 +79,8 @@ def dp_shardings(mesh: Mesh, axis_name: str = "dp"):
 
 
 def dp_chunked_shardings(mesh: Mesh, axis_name: str = "dp",
-                         data_sharded: bool = False):
+                         data_sharded: bool = False,
+                         with_lanes: bool = False):
     """(in_shardings, out_shardings) for the scan-chunked executor
     (``train.steps.make_chunked_train_step``) under a dp mesh.
 
@@ -99,12 +100,62 @@ def dp_chunked_shardings(mesh: Mesh, axis_name: str = "dp",
     bat2 = NamedSharding(mesh, P(None, axis_name))  # (chunk, batch) / (chunk, b)
     data_sh = NamedSharding(mesh, P(axis_name)) if data_sharded else rep
     in_shardings = (rep, data_sh, data_sh, bat2, rep, rep, rep, rep, rep)
+    if with_lanes:
+        in_shardings = in_shardings + (rep,)  # (chunk,) lane_counts
     out_shardings = (
         rep,
         dict(
             errD=rep, errG=rep, errD_real=rep, errD_fake=rep,
             D_x=rep, D_G_z1=rep, D_G_z2=rep,
             real_loss_per_sample=bat2, keep_mask=bat2, score_probs=bat2,
+            n_contam=rep, n_filtered_contam=rep,
+        ),
+    )
+    return in_shardings, out_shardings
+
+
+def dp_gated_shardings(mesh: Mesh, axis_name: str = "dp",
+                       data_sharded: bool = False):
+    """Shardings for ``train.steps.make_gated_chunked_train_step`` under a dp
+    mesh: (state, data_u8, source_id_all, idx, keys, c0, n_valid, lr_g, lr_d,
+    concat_on, pool) — mask_on at 9 / d_train at 12 are static.  Identical to
+    the chunked executor's layout plus the two replicated gate scalars."""
+    rep = replicated(mesh)
+    bat2 = NamedSharding(mesh, P(None, axis_name))
+    data_sh = NamedSharding(mesh, P(axis_name)) if data_sharded else rep
+    in_shardings = (rep, data_sh, data_sh, bat2, rep, rep, rep, rep, rep,
+                    rep, rep)
+    out_shardings = (
+        rep,
+        dict(
+            errD=rep, errG=rep, errD_real=rep, errD_fake=rep,
+            D_x=rep, D_G_z1=rep, D_G_z2=rep,
+            real_loss_per_sample=bat2, keep_mask=bat2, score_probs=bat2,
+            n_contam=rep, n_filtered_contam=rep,
+        ),
+    )
+    return in_shardings, out_shardings
+
+
+def dp_gated_tail_shardings(mesh: Mesh, axis_name: str = "dp",
+                            data_sharded: bool = False):
+    """Shardings for ``train.steps.make_gated_tail_step`` under a dp mesh:
+    (state, data_u8, source_id_all, idx, keys, n_full, tail_count, lr_g,
+    lr_d, concat_on, pool) — mask_on at 9 / d_train at 12 are static.  The
+    full index/key stacks are sharded exactly as the chunked executor's; the
+    per-step metrics come back batch-sharded."""
+    rep = replicated(mesh)
+    bat2 = NamedSharding(mesh, P(None, axis_name))
+    bat = batch_sharded(mesh, axis_name)
+    data_sh = NamedSharding(mesh, P(axis_name)) if data_sharded else rep
+    in_shardings = (rep, data_sh, data_sh, bat2, rep, rep, rep, rep, rep,
+                    rep, rep)
+    out_shardings = (
+        rep,
+        dict(
+            errD=rep, errG=rep, errD_real=rep, errD_fake=rep,
+            D_x=rep, D_G_z1=rep, D_G_z2=rep,
+            real_loss_per_sample=bat, keep_mask=bat, score_probs=bat,
             n_contam=rep, n_filtered_contam=rep,
         ),
     )

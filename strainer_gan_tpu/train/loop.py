@@ -98,32 +98,54 @@ def _cached_train_step(gen, disc, scfg: StepConfig, mesh=None):
     cache instead of re-tracing/compiling per Trainer."""
     key = (id(gen), id(disc), scfg, id(mesh) if mesh is not None else None)
     if key not in _STEP_CACHE:
-        _STEP_CACHE[key] = make_train_step(gen, disc, scfg, mesh=mesh)
-    return _STEP_CACHE[key]
+        # strong refs to the modules/mesh ride along: the keys use id(),
+        # which CPython may reuse after garbage collection (eval/fid.py's
+        # _BATCH_PROG_CACHE guard, applied uniformly)
+        _STEP_CACHE[key] = (make_train_step(gen, disc, scfg, mesh=mesh),
+                            gen, disc, mesh)
+    return _STEP_CACHE[key][0]
 
 
 def _cached_chunked_step(gen, disc, scfg: StepConfig, mesh=None,
-                         data_sharded: bool = False, unroll: int = 1):
+                         data_sharded: bool = False, unroll: int = 1,
+                         with_lanes: bool = False):
     """Same sharing for the scan-chunked executor — without it every Trainer
     (the test suite builds dozens with identical configs) would re-trace and
     recompile the chunked program."""
     key = ("chunk", id(gen), id(disc), scfg,
-           id(mesh) if mesh is not None else None, data_sharded, unroll)
+           id(mesh) if mesh is not None else None, data_sharded, unroll,
+           with_lanes)
     if key not in _STEP_CACHE:
-        _STEP_CACHE[key] = make_chunked_train_step(
+        _STEP_CACHE[key] = (make_chunked_train_step(
             gen, disc, scfg, mesh=mesh, data_sharded=data_sharded,
-            unroll=unroll,
-        )
-    return _STEP_CACHE[key]
+            unroll=unroll, with_lanes=with_lanes,
+        ), gen, disc, mesh)
+    return _STEP_CACHE[key][0]
 
 
-def _cached_gated_step(gen, disc, scfg: StepConfig, unroll: int = 1):
-    key = ("gated", id(gen), id(disc), scfg, unroll)
+def _cached_gated_tail(gen, disc, scfg: StepConfig, mesh=None,
+                       data_sharded: bool = False):
+    key = ("gated_tail", id(gen), id(disc), scfg,
+           id(mesh) if mesh is not None else None, data_sharded)
     if key not in _STEP_CACHE:
-        _STEP_CACHE[key] = make_gated_chunked_train_step(
-            gen, disc, scfg, unroll=unroll
-        )
-    return _STEP_CACHE[key]
+        from .steps import make_gated_tail_step
+
+        _STEP_CACHE[key] = (make_gated_tail_step(
+            gen, disc, scfg, mesh=mesh, data_sharded=data_sharded
+        ), gen, disc, mesh)
+    return _STEP_CACHE[key][0]
+
+
+def _cached_gated_step(gen, disc, scfg: StepConfig, unroll: int = 1,
+                       mesh=None, data_sharded: bool = False):
+    key = ("gated", id(gen), id(disc), scfg, unroll,
+           id(mesh) if mesh is not None else None, data_sharded)
+    if key not in _STEP_CACHE:
+        _STEP_CACHE[key] = (make_gated_chunked_train_step(
+            gen, disc, scfg, unroll=unroll, mesh=mesh,
+            data_sharded=data_sharded,
+        ), gen, disc, mesh)
+    return _STEP_CACHE[key][0]
 
 
 class Trainer:
@@ -241,6 +263,8 @@ class Trainer:
         self._iters = 0
         self._chunk_fn = None  # lazily-built scan-chunked executor
         self._gated_fn = None  # device-gated executor (deferred-stats path)
+        self._partial_fn = None  # lane-masked executor (partial tail batch)
+        self._gated_tail_fn = None  # device-gated partial tail (deferred)
         self._stats_cache = None  # (n_active, tp, n_contam, band_overflow)
         self._last_steps = None  # deferred path's dispatch-count guess
 
@@ -344,18 +368,23 @@ class Trainer:
         last_metrics = None
         last_was_chunk = False
 
-        # Deferred-stats epochs (strain event + no console step logging + no
-        # mid-epoch sampling): the step count stays a device scalar and the
-        # gated chunked executor dispatches a STATIC number of chunks, so the
-        # packed stats fetch below overlaps training compute instead of
-        # serializing the scoring pass against the first dispatch (~28 ms
-        # saved per strain event on a remote-attached chip).  Results are
-        # bitwise identical: live steps run the same step program with the
-        # same per-step keys (split(k, n)[:m] == split(k, m)), and all
-        # accounting is trimmed to the live rows once the count arrives.
+        # Deferred-stats epochs (strain event + no mid-epoch sampling): the
+        # step count stays a device scalar and the gated chunked executor
+        # dispatches a STATIC number of chunks, so the packed stats fetch
+        # below overlaps training compute instead of serializing the scoring
+        # pass against the first dispatch (~28 ms saved per strain event on
+        # a remote-attached chip).  Results are bitwise identical: live steps
+        # run the same step program with the same per-step keys
+        # (split(k, n)[:m] == split(k, m)), and all accounting is trimmed to
+        # the live rows once the count arrives.  Console ``log_every`` prints
+        # are served from the stacked chunk metrics after the count arrives
+        # (same text, same order); dp-mesh runs use the gated executor with
+        # the chunked executor's shardings.  Multi-host runs stay on the
+        # blocking path (per-process dispatch sequencing depends on the
+        # host-known step count).
         deferred = (
-            t.defer_epoch_stats and strain_event and self.mesh is None
-            and chunk > 1 and not sampling and not t.log_every
+            t.defer_epoch_stats and strain_event and not self.multihost
+            and chunk > 1 and not sampling
         )
 
         if not deferred:
@@ -368,13 +397,21 @@ class Trainer:
                 epoch, active, prev_active, n_active, strain_tp, n_contam_ds
             )
             if cfg.data.drop_last:
-                steps = n_active // bs
+                steps, tail = n_active // bs, 0
             else:
-                steps = -(-n_active // bs)
-            self._last_steps = steps
+                # exact partial final batch (`#%basic.py:76` — the CelebA
+                # loaders keep torch's drop_last=False default): the last
+                # step runs the lane-masked program on ``tail`` valid lanes
+                steps, tail = -(-n_active // bs), n_active % bs
+            self._last_steps = n_active // bs
+            # all_active derived from the fetched count, not from strain-state
+            # bookkeeping: a resumed one-shot strainer has a non-trivial
+            # restored mask, and keying the fast path on `last_mask is None`
+            # (as before) would train on strained-out samples (round-3 VERDICT
+            # confirmed bug).  n_active == n is exact and already paid for.
             idx = epoch_batch_indices(
                 k_perm, active, steps, bs,
-                all_active=self.engine.last_mask is None,
+                all_active=n_active == self.dataset.n,
             )
             if steps == 0:
                 self._warn_no_batches(epoch, n_active, bs)
@@ -431,6 +468,50 @@ class Trainer:
                 last_metrics = metrics
                 last_was_chunk = True
 
+            def run_partial(i):
+                # the epoch's final, partial batch: a length-1 lane-masked
+                # chunk whose step body zero-weights lanes >= ``tail`` —
+                # loss means, BN statistics (G and D), in-step quantiles and
+                # contamination counters all see exactly the ``tail``-sample
+                # batch the reference's drop_last=False DataLoader yields
+                nonlocal last_metrics, last_was_chunk
+                if self._partial_fn is None:
+                    self._partial_fn = _cached_chunked_step(
+                        self.gen, self.disc, self.scfg, mesh=self.mesh,
+                        data_sharded=self.multihost, with_lanes=True,
+                    )
+                idx_sl, keys_sl = idx[i:i + 1], step_keys[i:i + 1]
+                lanes = jnp.full((1,), tail, jnp.int32)
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    idx_sl = jax.device_put(
+                        idx_sl,
+                        NamedSharding(
+                            self.mesh, P(None, self.mesh.axis_names[0])
+                        ),
+                    )
+                    keys_sl = jax.device_put(
+                        keys_sl, NamedSharding(self.mesh, P())
+                    )
+                    lanes = jax.device_put(
+                        lanes, NamedSharding(self.mesh, P())
+                    )
+                self.state, m = self._partial_fn(
+                    self.state, self.dataset.images, self.dataset.source_id,
+                    idx_sl, keys_sl, lr_g, lr_d, gate, concat_gate,
+                    self.pool, d_train, lanes,
+                )
+                self.logger.log_chunk(epoch, t.epochs, i, steps, m, 1)
+                if mask_on:
+                    contam_parts.append(m["n_contam"])
+                    filtered_parts.append(m["n_filtered_contam"])
+                if self.logger.collect:
+                    # only the valid lanes enter the per-sample loss history
+                    loss_parts.append(m["real_loss_per_sample"][:, :tail])
+                last_metrics = m
+                last_was_chunk = True
+
             # Scan-chunked execution (steps_per_dispatch steps per device
             # dispatch; see make_chunked_train_step), segmented so that every
             # fixed-noise sample point is hit EXACTLY: the epoch's [0, steps)
@@ -459,13 +540,17 @@ class Trainer:
                     sample_here = pos + until < steps
                 else:
                     boundary, sample_here = steps, False
-                n_seg = boundary - pos
+                # full chunks must stop short of the partial tail step
+                limit = boundary - (1 if (tail and boundary == steps) else 0)
                 if chunk > 1:
-                    for _ in range(n_seg // chunk):
+                    while pos + chunk <= limit:
                         run_chunk(pos, chunk)
                         pos += chunk
                 while pos < boundary:
-                    step_exec(pos)
+                    if tail and pos == steps - 1:
+                        run_partial(pos)
+                    else:
+                        step_exec(pos)
                     pos += 1
                 if sample_here:
                     self.img_list.append(self.sample())
@@ -484,18 +569,40 @@ class Trainer:
             # after the strain scoring, so its fetch below completes while
             # the training chunks are still crunching
             stats_dev = self._dispatch_epoch_stats(active, strain_event)
+            # n_active is not host-known yet here (that's the point of the
+            # deferred path), so the static fast-path promise must be
+            # conservative: only when no strain decision exists at all.
+            # last_mask survives checkpoint restore (checkpoint.py), so a
+            # resumed one-shot strainer cannot take this branch.
             idx = epoch_batch_indices(
                 k_perm, active, cap_chunks * chunk, bs,
-                all_active=self.engine.last_mask is None,
+                all_active=self.engine.last_mask is None
+                and self.engine._base_subset is None,
             )
             step_keys = jax.random.split(k_steps, cap_chunks * chunk)
-            from ..data.pipeline import device_step_count
+            from ..data.pipeline import device_full_and_tail
 
-            n_valid = device_step_count(active, bs, cfg.data.drop_last)
+            # gated chunks run FULL batches only; a drop_last=False partial
+            # tail runs as one device-gated lane-masked dispatch below
+            ft = device_full_and_tail(active, bs)
+            n_valid, tail_dev = ft[0], ft[1]
+            if self.mesh is not None:
+                # shard the whole epoch's index matrix along its batch axis
+                # once; chunk slices and the gated tail inherit the layout
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                idx = jax.device_put(
+                    idx,
+                    NamedSharding(self.mesh, P(None, self.mesh.axis_names[0])),
+                )
+                step_keys = jax.device_put(
+                    step_keys, NamedSharding(self.mesh, P())
+                )
             if self._gated_fn is None:
                 self._gated_fn = _cached_gated_step(
                     self.gen, self.disc, self.scfg,
                     unroll=max(1, t.scan_unroll),
+                    mesh=self.mesh, data_sharded=self.multihost,
                 )
 
             def dispatch_chunk(c):
@@ -528,23 +635,39 @@ class Trainer:
             self._log_strain_event(
                 epoch, active, prev_active, n_active, strain_tp, n_contam_ds
             )
+            full_host = n_active // bs
             if cfg.data.drop_last:
-                steps = n_active // bs
+                steps, tail = full_host, 0
             else:
-                steps = -(-n_active // bs)
+                steps, tail = -(-n_active // bs), n_active % bs
             if steps == 0:
                 self._warn_no_batches(epoch, n_active, bs)
-            self._last_steps = steps
+            self._last_steps = full_host
             # catch-up: the guess undershot (mask grew since last epoch) —
             # dispatch the remaining chunks now (still ahead of any fetch of
             # their results, so the pipeline stays full)
-            while n_disp * chunk < steps:
+            while n_disp * chunk < full_host:
                 dispatch_chunk(n_disp)
                 n_disp += 1
+            # drop_last=False: ONE gated lane-masked dispatch runs the exact
+            # partial tail batch (dead when tail == 0); it must follow every
+            # live full chunk so the state order matches the blocking path
+            m_tail = None
+            if not cfg.data.drop_last and tail:
+                if self._gated_tail_fn is None:
+                    self._gated_tail_fn = _cached_gated_tail(
+                        self.gen, self.disc, self.scfg,
+                        mesh=self.mesh, data_sharded=self.multihost
+                    )
+                self.state, m_tail = self._gated_tail_fn(
+                    self.state, self.dataset.images, self.dataset.source_id,
+                    idx, step_keys, n_valid, tail_dev,
+                    lr_g, lr_d, gate, concat_gate, self.pool, d_train,
+                )
             # account only the live rows (dead rows carry the previous step's
             # metrics by construction — see make_gated_chunked_train_step)
             for c, m in enumerate(chunk_ms):
-                v = min(max(steps - c * chunk, 0), chunk)
+                v = min(max(full_host - c * chunk, 0), chunk)
                 if v == 0:
                     break
                 if self.logger.collect:
@@ -563,9 +686,28 @@ class Trainer:
                     filtered_parts.append(m["n_filtered_contam"][:v])
                 last_metrics = tm
                 last_was_chunk = True
+            if m_tail is not None:
+                self.logger.log_step(epoch, t.epochs, full_host, steps, m_tail)
+                if mask_on:
+                    contam_parts.append(m_tail["n_contam"])
+                    filtered_parts.append(m_tail["n_filtered_contam"])
+                if self.logger.collect:
+                    loss_parts.append(m_tail["real_loss_per_sample"][:tail])
+                last_metrics = m_tail
+                last_was_chunk = False
         self._iters += steps
         if last_was_chunk:
             last_metrics = {k: v[-1] for k, v in last_metrics.items()}
+
+        # final-iteration grid (`#%basic.py:301`): the reference ALSO captures
+        # a fixed-noise grid after the last iteration of the last epoch —
+        # `(epoch == num_epochs-1) and (i == len(dataloader)-1)` — unless that
+        # iteration was already a sample point (the condition is an `or`)
+        if (
+            sampling and steps > 0 and epoch == t.epochs - 1
+            and (self._iters - 1) % t.sample_every != 0
+        ):
+            self.img_list.append(self.sample())
 
         n_contam_total = n_filtered_total = 0
         if mask_on and contam_parts:
@@ -639,11 +781,28 @@ class Trainer:
         return out
 
     # ------------------------------------------------------------- sampling
-    def sample(self, n: Optional[int] = None) -> np.ndarray:
-        """Fixed-noise generator output (`#%basic.py:301-304`)."""
+    def sample(self, n: Optional[int] = None,
+               train_bn: Optional[bool] = None) -> np.ndarray:
+        """Fixed-noise generator output (`#%basic.py:301-304`).
+
+        The reference never calls ``netG.eval()``, so its grids are generated
+        with BatchNorm in TRAIN mode (statistics of the fixed-noise batch
+        itself) under no_grad.  ``train_bn=True`` (the default via
+        ``TrainConfig.sample_train_bn``) replicates that; the running-stat
+        update torch performs during that forward is discarded — the
+        reference never consumes G's running stats (no eval-mode G use
+        exists), so the drop is unobservable (docs/PARITY.md ledger).
+        """
+        if train_bn is None:
+            train_bn = self.cfg.train.sample_train_bn
         z = self.fixed_noise if n is None else self.fixed_noise[:n]
-        imgs = self.gen.apply(
-            {"params": self.state.g_params, "batch_stats": self.state.g_stats},
-            z, train=False,
-        )
+        variables = {
+            "params": self.state.g_params, "batch_stats": self.state.g_stats,
+        }
+        if train_bn:
+            imgs, _ = self.gen.apply(
+                variables, z, train=True, mutable=["batch_stats"]
+            )
+        else:
+            imgs = self.gen.apply(variables, z, train=False)
         return np.asarray(imgs.astype(jnp.float32))

@@ -99,7 +99,8 @@ def _build_step_body(gen, disc, scfg: StepConfig, stem_share: bool = True):
         return new_params, new_opt
 
     def step(state: GANState, batch_u8, source_id, key, lr_g, lr_d,
-             mask_on=False, concat_on=False, pool_u8=None, d_train=True):
+             mask_on=False, concat_on=False, pool_u8=None, d_train=True,
+             lane_count=None):
         b = batch_u8.shape[0]
         # torch samples an independent dropout mask per forward — the real and
         # fake D passes inside the D step get distinct keys.
@@ -112,6 +113,20 @@ def _build_step_body(gen, disc, scfg: StepConfig, stem_share: bool = True):
         real_t = scfg.real_label
         fake_t = scfg.fake_label
 
+        # ``lane_count`` (traced int32 scalar, or None = full batch): the
+        # number of VALID leading lanes.  This is the exact partial final
+        # batch of a drop_last=False DataLoader (`#%basic.py:76` — the CelebA
+        # scripts keep torch's default): lanes >= lane_count are zero-weight
+        # padding excluded from every loss mean, every BatchNorm statistic
+        # (G's and D's), the in-step strain quantile, and the contamination
+        # accounting — mathematically identical to torch's smaller tail
+        # batch (tests/test_partial_batch.py pins this against torch).
+        valid = None
+        valid_w = None
+        if lane_count is not None:
+            valid = jnp.arange(b) < lane_count
+            valid_w = valid.astype(jnp.float32)
+
         # ------------------------------------------------------ in-step strain
         # NOTE: mask_on is a *static* bool — when the gate is off, the whole
         # scoring forward below is dead code that XLA eliminates, so pre-gate
@@ -120,7 +135,7 @@ def _build_step_body(gen, disc, scfg: StepConfig, stem_share: bool = True):
         # SLOWER than full-shape weighted lanes on v5e — odd batch sizes pad
         # back to tile multiples and the gather costs extra; see git history.)
         d_stats = state.d_stats
-        keep = jnp.ones((b,), bool)
+        keep = valid if valid is not None else jnp.ones((b,), bool)
         real_stem = None  # (stem_out, stem_vjp) when stem sharing is active
         if (scfg.batch_mask or scfg.in_batch_recycle) and mask_on:
             q = scfg.mask_quantile if scfg.batch_mask else scfg.recycle_quantile
@@ -136,27 +151,33 @@ def _build_step_body(gen, disc, scfg: StepConfig, stem_share: bool = True):
                 real_stem = (h_real, stem_vjp)
                 logits_s, mut = disc.apply(
                     {"params": state.d_params, "batch_stats": d_stats},
-                    h_real, d_train, None,
+                    h_real, d_train, valid_w,
                     method="head", mutable=["batch_stats"],
                 )
                 scored_stats = mut["batch_stats"]
             else:
                 logits_s, scored_stats = d_apply(
-                    state.d_params, d_stats, x, None, d_train, k_score_drop
+                    state.d_params, d_stats, x, valid_w, d_train, k_score_drop
                 )
             probs_s = jax.nn.sigmoid(logits_s)
-            thr = S.quantile(probs_s, q)
-            keep = probs_s >= thr  # `# 상위 10%...X.py:284`
+            if valid is None:
+                thr = S.quantile(probs_s, q)
+                keep = probs_s >= thr  # `# 상위 10%...X.py:284`
+            else:
+                # partial tail batch: the quantile is over the valid lanes
+                # only, exactly torch.quantile on the smaller batch
+                thr = S.masked_quantile(probs_s, valid, q)
+                keep = jnp.logical_and(probs_s >= thr, valid)
             # torch updates BN running stats during the no-grad scoring pass
             d_stats = scored_stats
         w = keep.astype(jnp.float32)
         masked_any = (scfg.batch_mask or scfg.in_batch_recycle) and mask_on
-        w_real = w if masked_any else None
+        w_real = w if masked_any else valid_w
         # C19 generates noise at the masked size, and in recycle mode G only
         # produces b - b_fake fakes (`# 상위 10% 제거해서...py:265-266`) — in
         # both cases G's BN statistics cover only the surviving fake slots,
         # expressed here as sample weights on the full-shape forward.
-        w_fake = w if masked_any else None
+        w_fake = w if masked_any else valid_w
 
         z = jax.random.normal(k_noise, (b, scfg.nz), jnp.float32)
 
@@ -179,9 +200,13 @@ def _build_step_body(gen, disc, scfg: StepConfig, stem_share: bool = True):
             """D's fake-side batch + its weights + generated-slot mask."""
             if scfg.in_batch_recycle:
                 use_real = jnp.logical_and(jnp.logical_not(keep), mask_on)
+                if valid is not None:
+                    # pad lanes are never recycled reals; they stay zero-
+                    # weight fake slots (excluded below via valid weights)
+                    use_real = jnp.logical_and(use_real, valid)
                 um = use_real.reshape((b,) + (1,) * (x.ndim - 1))
                 combined = jnp.where(um, x.astype(fake_imgs.dtype), fake_imgs)
-                return combined, None, jnp.logical_not(use_real)
+                return combined, valid_w, jnp.logical_not(use_real)
             if scfg.pool_concat:
                 pool_n = pool_u8.shape[0]
                 perm = jax.random.permutation(k_pool, pool_n)
@@ -192,15 +217,24 @@ def _build_step_body(gen, disc, scfg: StepConfig, stem_share: bool = True):
                 if scfg.flatten:
                     pool_x = pool_x.reshape(b, -1)
                 combined = jnp.concatenate([fake_imgs, pool_x], axis=0)
-                # before the gate epoch the pool contributes nothing: weight 0
+                # before the gate epoch the pool contributes nothing: weight 0.
+                # On a partial tail batch both halves shrink to the valid
+                # lanes — the "fast" pool variant samples randperm[:b_size]
+                # of the ACTUAL batch size (`# strainer gan + concate.py:622`).
+                gen_w = jnp.ones((b,)) if valid_w is None else valid_w
                 pw = jnp.concatenate(
-                    [jnp.ones((b,)), jnp.where(concat_on, 1.0, 0.0) * jnp.ones((b,))]
+                    [gen_w, jnp.where(concat_on, 1.0, 0.0) * gen_w]
                 )
                 gen_slot = jnp.concatenate(
                     [jnp.ones((b,), bool), jnp.zeros((b,), bool)]
                 )
+                if valid is not None:
+                    gen_slot = jnp.concatenate(
+                        [valid, jnp.zeros((b,), bool)]
+                    )
                 return combined, pw, gen_slot
-            return fake_imgs, w_fake, jnp.ones((b,), bool)
+            gen_slot = jnp.ones((b,), bool) if valid is None else valid
+            return fake_imgs, w_fake, gen_slot
 
         # ------------------------------------------------------------- D update
         def d_loss_fn(d_params, fake_detached, stats0, h_real_in=None):
@@ -298,6 +332,8 @@ def _build_step_body(gen, disc, scfg: StepConfig, stem_share: bool = True):
 
         # ----------------------------------------------------- ground-truth acct
         contam = source_id != 0
+        if valid is not None:
+            contam = jnp.logical_and(contam, valid)  # pads never counted
         n_contam = jnp.sum(contam)
         n_filtered_contam = jnp.where(
             mask_on, jnp.sum(jnp.logical_and(contam, jnp.logical_not(keep))), 0
@@ -355,7 +391,7 @@ def make_train_step(gen, disc, scfg: StepConfig, donate: bool = True, mesh=None,
 
 def make_chunked_train_step(gen, disc, scfg: StepConfig, donate: bool = True,
                             mesh=None, data_sharded: bool = False,
-                            unroll: int = 1):
+                            unroll: int = 1, with_lanes: bool = False):
     """Scan-fused multi-step executor: runs ``chunk`` consecutive train steps
     in ONE device dispatch, gathering each batch on-device from the
     HBM-resident dataset.
@@ -378,30 +414,56 @@ def make_chunked_train_step(gen, disc, scfg: StepConfig, donate: bool = True,
     replicated, ``idx`` sharded along its batch axis so each device gathers
     its own batch shard locally inside the scan, gradients all-reduced by
     GSPMD — the chunked analog of ``make_train_step(mesh=...)``.
+
+    ``with_lanes``: the returned callable takes a trailing ``lane_counts``
+    ``(chunk,)`` int32 argument giving each step's valid-lane count (see the
+    step body's ``lane_count``) — the executor form of the exact partial
+    final batch (drop_last=False).  The Trainer only dispatches length-1
+    lane chunks (the tail step), so the full-speed path never pays the
+    lane-masking program.
     """
     step = _build_step_body(gen, disc, scfg, stem_share=True)
 
-    def chunked(state, data_u8, source_id_all, idx, keys, lr_g, lr_d,
-                mask_on=False, concat_on=False, pool_u8=None, d_train=True):
-        def body(st, inp):
-            ix, k = inp
-            batch = jnp.take(data_u8, ix, axis=0)
-            src = jnp.take(source_id_all, ix, axis=0)
-            return step(st, batch, src, k, lr_g, lr_d,
-                        mask_on, concat_on, pool_u8, d_train)
+    if with_lanes:
+        def chunked(state, data_u8, source_id_all, idx, keys, lr_g, lr_d,
+                    mask_on=False, concat_on=False, pool_u8=None,
+                    d_train=True, lane_counts=None):
+            def body(st, inp):
+                ix, k, lc = inp
+                batch = jnp.take(data_u8, ix, axis=0)
+                src = jnp.take(source_id_all, ix, axis=0)
+                return step(st, batch, src, k, lr_g, lr_d,
+                            mask_on, concat_on, pool_u8, d_train,
+                            lane_count=lc)
 
-        # ``unroll`` is an executor knob only (identical results, the scan
-        # body is replicated so XLA can overlap adjacent steps' HBM traffic
-        # with MXU work); >1 roughly doubles the chunked program's compile
-        # time, so it is opt-in via TrainConfig.scan_unroll.
-        return jax.lax.scan(body, state, (idx, keys), unroll=unroll)
+            return jax.lax.scan(
+                body, state, (idx, keys, lane_counts), unroll=unroll
+            )
+    else:
+        def chunked(state, data_u8, source_id_all, idx, keys, lr_g, lr_d,
+                    mask_on=False, concat_on=False, pool_u8=None,
+                    d_train=True):
+            def body(st, inp):
+                ix, k = inp
+                batch = jnp.take(data_u8, ix, axis=0)
+                src = jnp.take(source_id_all, ix, axis=0)
+                return step(st, batch, src, k, lr_g, lr_d,
+                            mask_on, concat_on, pool_u8, d_train)
+
+            # ``unroll`` is an executor knob only (identical results, the
+            # scan body is replicated so XLA can overlap adjacent steps' HBM
+            # traffic with MXU work); >1 roughly doubles the chunked
+            # program's compile time, so it is opt-in via
+            # TrainConfig.scan_unroll.
+            return jax.lax.scan(body, state, (idx, keys), unroll=unroll)
 
     donate_argnums = (0,) if donate else ()
     if mesh is not None:
         from ..parallel.mesh import dp_chunked_shardings
 
         in_sh, out_sh = dp_chunked_shardings(
-            mesh, mesh.axis_names[0], data_sharded=data_sharded
+            mesh, mesh.axis_names[0], data_sharded=data_sharded,
+            with_lanes=with_lanes,
         )
         return jax.jit(
             chunked, donate_argnums=donate_argnums, static_argnums=(7, 10),
@@ -412,7 +474,8 @@ def make_chunked_train_step(gen, disc, scfg: StepConfig, donate: bool = True,
 
 
 def make_gated_chunked_train_step(gen, disc, scfg: StepConfig,
-                                  donate: bool = True, unroll: int = 1):
+                                  donate: bool = True, unroll: int = 1,
+                                  mesh=None, data_sharded: bool = False):
     """Scan-chunked executor whose step count is a DEVICE value.
 
     The per-epoch step count is data-dependent (``n_active // batch``), and
@@ -496,5 +559,76 @@ def make_gated_chunked_train_step(gen, disc, scfg: StepConfig,
         return state, metrics
 
     donate_argnums = (0,) if donate else ()
+    if mesh is not None:
+        from ..parallel.mesh import dp_gated_shardings
+
+        in_sh, out_sh = dp_gated_shardings(
+            mesh, mesh.axis_names[0], data_sharded=data_sharded
+        )
+        return jax.jit(gated, donate_argnums=donate_argnums,
+                       static_argnums=(9, 12),
+                       in_shardings=in_sh, out_shardings=out_sh)
     return jax.jit(gated, donate_argnums=donate_argnums,
+                   static_argnums=(9, 12))
+
+
+def make_gated_tail_step(gen, disc, scfg: StepConfig, donate: bool = True,
+                         mesh=None, data_sharded: bool = False):
+    """Device-gated PARTIAL tail step for the deferred-stats path.
+
+    With drop_last=False (the reference CelebA loaders' default,
+    `#%basic.py:76`) every epoch ends in one partial batch of
+    ``n_active % batch`` samples.  On the deferred path both the full-step
+    count and the tail size are device values, so the tail runs as one
+    dispatch that (a) gates on ``tail_count > 0`` behind a ``lax.cond``,
+    (b) gathers its batch row ``idx[n_full]`` dynamically, and (c) executes
+    the step body with ``lane_count = tail_count`` — the exact-partial-batch
+    program.  Dead (no-tail) dispatches cost only the cond.
+
+    Returns ``tail(state, data_u8, source_id_all, idx, keys, n_full,
+    tail_count, lr_g, lr_d, mask_on, concat_on, pool_u8, d_train)`` with
+    ``idx``/``keys`` the epoch's FULL index/key stacks (the tail row is
+    selected on device) and ``n_full``/``tail_count`` traced int32 scalars.
+    """
+    step = _build_step_body(gen, disc, scfg, stem_share=True)
+
+    def tail(state, data_u8, source_id_all, idx, keys, n_full, tail_count,
+             lr_g, lr_d, mask_on=False, concat_on=False, pool_u8=None,
+             d_train=True):
+        row = jnp.minimum(n_full, idx.shape[0] - 1)
+        b_sh = jax.ShapeDtypeStruct(
+            (idx.shape[1],) + data_u8.shape[1:], data_u8.dtype
+        )
+        s_sh = jax.ShapeDtypeStruct((idx.shape[1],), source_id_all.dtype)
+        m_shapes = jax.eval_shape(
+            lambda st, bx, sx, k: step(st, bx, sx, k, lr_g, lr_d,
+                                       mask_on, concat_on, pool_u8, d_train,
+                                       lane_count=tail_count),
+            state, b_sh, s_sh, keys[0],
+        )[1]
+        zeros_m = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m_shapes)
+
+        def live(st):
+            ix = jnp.take(idx, row, axis=0)
+            k = jnp.take(keys, row, axis=0)
+            batch = jnp.take(data_u8, ix, axis=0)
+            src = jnp.take(source_id_all, ix, axis=0)
+            return step(st, batch, src, k, lr_g, lr_d,
+                        mask_on, concat_on, pool_u8, d_train,
+                        lane_count=tail_count)
+
+        return jax.lax.cond(tail_count > 0, live, lambda st: (st, zeros_m),
+                            state)
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is not None:
+        from ..parallel.mesh import dp_gated_tail_shardings
+
+        in_sh, out_sh = dp_gated_tail_shardings(
+            mesh, mesh.axis_names[0], data_sharded=data_sharded
+        )
+        return jax.jit(tail, donate_argnums=donate_argnums,
+                       static_argnums=(9, 12),
+                       in_shardings=in_sh, out_shardings=out_sh)
+    return jax.jit(tail, donate_argnums=donate_argnums,
                    static_argnums=(9, 12))

@@ -70,6 +70,17 @@ def test_config_json_roundtrip():
     assert cfg2.data.sources == cfg.data.sources
 
 
+def test_drop_last_per_preset():
+    """DataLoader tail semantics per script: every CelebA-family loader keeps
+    torch's default drop_last=False (`#%basic.py:76`); the MNIST loaders pass
+    drop_last=True (`#8.py:50`, `Untitled-2.py:67`, `Untitled-3.py:84`,
+    `# 1,2,8.py:79`)."""
+    mnist = {"mnist8", "mnist_8_2", "mnist_1_2_8_baseline", "mnist_full"}
+    for name, cfg in PRESETS.items():
+        want = name in mnist
+        assert cfg.data.drop_last == want, (name, cfg.data.drop_last)
+
+
 def test_mixers_per_preset():
     assert get_preset("zscore").data.mixer == "shuffled_combined"
     assert get_preset("strainer_gan").data.mixer == "combined"
