@@ -10,6 +10,7 @@ init, so the 8-device virtual CPU mesh flag works from here (SURVEY §4: the
 JAX-native fake backend for multi-device tests).
 """
 import os
+import tempfile
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
@@ -21,9 +22,34 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# NOTE: no persistent compilation cache — this machine shares /tmp cache
-# entries compiled for a different host CPU (AOT feature mismatch warnings,
-# potential SIGILL).
+# NOTE: no *pre-existing* persistent compilation cache — this machine shares
+# /tmp cache entries compiled for a different host CPU (AOT feature mismatch
+# warnings, potential SIGILL).  Under pytest-xdist we DO enable a cache, but
+# in a directory named after this run's unique testrunuid, so it can only
+# ever hold entries compiled by this run on this host: workers then share
+# compiles of the identical jitted programs (module fixtures, golden steps)
+# instead of redoing them N times.  The controller deletes the directory at
+# session end (pytest_sessionfinish below).
+_xdist_uid = os.environ.get("PYTEST_XDIST_TESTRUNUID")
+if _xdist_uid:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(tempfile.gettempdir(), f"strainer-jaxcache-{_xdist_uid}"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    # xdist controller (no workerinput) outlives all workers: best-effort
+    # cleanup of this run's shared compile cache.
+    if getattr(session.config, "workerinput", None) is None:
+        import glob
+        import shutil
+
+        for d in glob.glob(
+            os.path.join(tempfile.gettempdir(), "strainer-jaxcache-*")
+        ):
+            shutil.rmtree(d, ignore_errors=True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
