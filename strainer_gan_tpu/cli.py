@@ -17,6 +17,23 @@ import sys
 import time
 
 
+def force_eval_suite(cfg, n_samples: int):
+    """``--eval`` against a preset whose EvalConfig is all-off (e.g. ``final``
+    mirrors ``# final.py``'s live section, which has no eval tail): the user
+    explicitly asked for the suite, so enable the full metric set rather than
+    silently returning ``{}``.  Presets that already enable any metric are
+    left untouched (their reference scripts define which metrics run)."""
+    ev = cfg.eval
+    if ev.fid or ev.feature_distance or ev.wasserstein:
+        return cfg
+    from .config import EvalConfig
+
+    return cfg.replace(eval=EvalConfig(
+        fid=True, feature_distance=True, wasserstein=True,
+        fid_n_samples=n_samples,
+    ))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="strainer_gan_tpu runner")
     ap.add_argument("--preset", default="basic")
@@ -71,6 +88,8 @@ def main(argv=None):
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, compute_dtype="float32"))
     if args.dp is not None:
         cfg = cfg.replace(parallel=dataclasses.replace(cfg.parallel, dp=args.dp))
+    if args.eval:
+        cfg = force_eval_suite(cfg, args.eval_samples)
 
     from .train.loop import Trainer
     from .obs.images import save_image_grid

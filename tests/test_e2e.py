@@ -155,6 +155,19 @@ def test_cli_list_and_smoke(tmp_path):
     assert metrics["epochs"] == 1
 
 
+def test_cli_eval_force_enables_suite():
+    """`--eval` against an all-off EvalConfig (the `final` preset mirrors
+    `# final.py`'s live section, no eval tail) enables the full metric set;
+    presets with any metric enabled keep their reference-defined selection."""
+    from strainer_gan_tpu.cli import force_eval_suite
+
+    cfg = force_eval_suite(get_preset("final"), n_samples=123)
+    assert cfg.eval.fid and cfg.eval.feature_distance and cfg.eval.wasserstein
+    assert cfg.eval.fid_n_samples == 123
+    sg = get_preset("strainer_gan")
+    assert force_eval_suite(sg, n_samples=50) is sg
+
+
 def test_serve_sampler_roundtrip(tmp_path):
     from strainer_gan_tpu.checkpoint import save_checkpoint
     from strainer_gan_tpu.serve import Sampler
