@@ -43,6 +43,13 @@ def save_checkpoint(path: str, trainer, epoch: int) -> str:
             # a resume that lost this mask would let the epoch sampler take its
             # all-active fast path and train on strained-out samples.
             payload["last_mask"] = trainer.engine.last_mask
+        if trainer.engine.last_scores is not None:
+            # the decision's evidence travels with the decision: without it a
+            # resumed `--parity-check` (or score histogram) would pair the
+            # restored mask with whatever scores the fresh trainer last
+            # computed — e.g. the prefilter pass at setup() — and report a
+            # meaningless agreement number.
+            payload["last_scores"] = trainer.engine.last_scores
         ckptr.save(os.path.join(path, f"epoch_{epoch}"), payload, force=True)
     with open(os.path.join(path, "config.json"), "w") as f:
         f.write(trainer.cfg.to_json())
@@ -54,6 +61,11 @@ def save_checkpoint(path: str, trainer, epoch: int) -> str:
                 iters=trainer._iters,
                 has_ae=trainer.engine.ae_params is not None,
                 has_last_mask=trainer.engine.last_mask is not None,
+                has_last_scores=trainer.engine.last_scores is not None,
+                last_threshold=(
+                    None if trainer.engine.last_threshold is None
+                    else float(trainer.engine.last_threshold)
+                ),
                 band_cooloff=trainer.engine.band_cooloff,
             ),
             f,
@@ -96,6 +108,10 @@ def restore_checkpoint(path: str, trainer, epoch: Optional[int] = None) -> int:
             )
         if meta.get("has_last_mask"):
             template["last_mask"] = trainer.engine.active
+        if meta.get("has_last_scores"):
+            template["last_scores"] = jnp.zeros(
+                (int(trainer.dataset.n),), jnp.float32
+            )
         payload = ckptr.restore(os.path.join(path, f"epoch_{epoch}"), template)
     trainer.state = payload["state"]
     trainer.engine.active = payload["active"]
@@ -108,6 +124,10 @@ def restore_checkpoint(path: str, trainer, epoch: Optional[int] = None) -> int:
         trainer.engine.ae_params = payload["ae_params"]
     if meta.get("has_last_mask"):
         trainer.engine.last_mask = payload["last_mask"]
+    if meta.get("has_last_scores"):
+        trainer.engine.last_scores = payload["last_scores"]
+    if meta.get("last_threshold") is not None:
+        trainer.engine.last_threshold = meta["last_threshold"]
     trainer.engine.band_cooloff = meta.get("band_cooloff", 0)
     trainer.engine.d_bn_eval = meta.get("d_bn_eval", False)
     trainer._iters = meta.get("iters", 0)

@@ -101,3 +101,34 @@ def test_resumed_one_shot_strainer_never_draws_strained_samples(
     for a, b in zip(jax.tree.leaves(straight.state.d_opt),
                     jax.tree.leaves(resumed.state.d_opt)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_restores_strain_scores_for_parity(tmp_path):
+    """The decision's evidence travels with the decision: `--resume
+    --parity-check` with no strain event after restore must pair the restored
+    mask with the scores that PRODUCED it, not whatever the fresh trainer
+    last computed (e.g. `final`'s prefilter pass at setup() — observed
+    agreement 0.60 on the dress rehearsal's resumed eval leg before the
+    fix)."""
+    from strainer_gan_tpu.parity.agreement import agreement_report
+
+    cfg = _cfg()
+    tr = Trainer(cfg, feature_fn=_feat(), max_synth=48)
+    tr.setup()
+    for e in range(2):
+        tr.run_epoch(e)
+    assert tr.engine.last_scores is not None
+    before = agreement_report(tr, epoch=1)
+    assert before, "precondition: strain happened, report must be non-empty"
+    save_checkpoint(str(tmp_path / "ck"), tr, epoch=1)
+
+    resumed = Trainer(cfg, feature_fn=_feat(), max_synth=48)
+    resumed.setup()
+    # simulate a preset whose setup populates scores before restore (the
+    # prefilter pass): restore must overwrite this stale evidence
+    resumed.engine.last_scores = jnp.zeros((resumed.dataset.n,), jnp.float32)
+    restore_checkpoint(str(tmp_path / "ck"), resumed)
+    np.testing.assert_allclose(np.asarray(resumed.engine.last_scores),
+                               np.asarray(tr.engine.last_scores))
+    assert resumed.engine.last_threshold is not None
+    assert agreement_report(resumed, epoch=1) == before
