@@ -50,7 +50,8 @@ def _synth_images(n: int, rng) -> "np.ndarray":
 
 
 def bench_trainer(preset: str, batch_size: int = 1024,
-                  n_synth: int = 66000, timed_epochs: int = 3) -> dict:
+                  n_synth: int = 66000, timed_epochs: int = 3,
+                  log_every: int = 0) -> dict:
     from strainer_gan_tpu.config import get_preset
     from strainer_gan_tpu.obs.metrics import MetricsLogger
     from strainer_gan_tpu.train.loop import Trainer
@@ -59,7 +60,7 @@ def bench_trainer(preset: str, batch_size: int = 1024,
     cfg = base.replace(
         data=dataclasses.replace(base.data, batch_size=batch_size),
         train=dataclasses.replace(
-            base.train, epochs=4, log_every=0, sample_every=0,
+            base.train, epochs=4, log_every=log_every, sample_every=0,
             steps_per_dispatch=32,
         ),
         strain=dataclasses.replace(
@@ -85,7 +86,7 @@ def bench_trainer(preset: str, batch_size: int = 1024,
         source_id=(rng.random(n_synth) < 0.1).astype(np.int32),
         labels=np.zeros((n_synth,), np.int64),
     )
-    logger = MetricsLogger(log_every=0, collect=False)
+    logger = MetricsLogger(log_every=log_every, collect=False)
     tr = Trainer(cfg, logger=logger, dataset=DeviceDataset(mix))
     tr.setup()
     # Warmup epochs compile every program the timed epoch can hit, and — for
@@ -127,8 +128,9 @@ def bench_trainer(preset: str, batch_size: int = 1024,
     # trailing sync once, not once per epoch.
     _ = float(info["last"]["errD"]) if info["last"] is not None else None
     dt = time.perf_counter() - t0
+    tag = f"{preset}:log{log_every}" if log_every else preset
     out = dict(
-        metric=f"trainer_epoch_images_per_sec[{preset}]",
+        metric=f"trainer_epoch_images_per_sec[{tag}]",
         value=round(total_imgs / dt, 1),
         unit="img/s/chip (Trainer.run_epoch end-to-end)",
         steps=info["steps"],
@@ -150,9 +152,15 @@ if __name__ == "__main__":
     # measured against a long epoch, as any real run would amortize them.
     # final: 66k dataset -> 32-step epoch + the full-dataset scoring pass,
     # comparable epoch shape to the reference's CelebA+CIFAR runs.
+    # `final:log50` measures the reference-parity console cadence
+    # (`#%basic.py` prints every 50 iters) — the deferred-stats executor
+    # serves those lines from stacked chunk metrics, so logging must not
+    # cost the strain-event RTT.
     sizes = {"batch_mask": 131072, "final": 66000}
     which = sys.argv[1:] or ["batch_mask", "final"]
-    for preset in which:
-        print(json.dumps(
-            bench_trainer(preset, n_synth=sizes.get(preset, 66000))
-        ), flush=True)
+    for token in which:
+        preset, _, log_s = token.partition(":log")
+        print(json.dumps(bench_trainer(
+            preset, n_synth=sizes.get(preset, 66000),
+            log_every=int(log_s) if log_s else 0,
+        )), flush=True)
