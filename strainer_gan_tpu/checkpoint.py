@@ -53,23 +53,29 @@ def save_checkpoint(path: str, trainer, epoch: int) -> str:
         ckptr.save(os.path.join(path, f"epoch_{epoch}"), payload, force=True)
     with open(os.path.join(path, "config.json"), "w") as f:
         f.write(trainer.cfg.to_json())
+    meta = dict(
+        epoch=epoch,
+        d_bn_eval=trainer.engine.d_bn_eval,
+        iters=trainer._iters,
+        has_ae=trainer.engine.ae_params is not None,
+        has_last_mask=trainer.engine.last_mask is not None,
+        has_last_scores=trainer.engine.last_scores is not None,
+        last_threshold=(
+            None if trainer.engine.last_threshold is None
+            else float(trainer.engine.last_threshold)
+        ),
+        band_cooloff=trainer.engine.band_cooloff,
+    )
+    # Per-epoch state (iters, strain-evidence flags, band_cooloff) must travel
+    # with its epoch: a single latest-wins meta.json would pair an explicitly
+    # restored earlier epoch's payload with the LAST save's metadata — e.g. a
+    # has_last_scores template key the earlier payload lacks (orbax restore
+    # failure) or a silently mismatched last_threshold.
+    with open(os.path.join(path, f"meta_epoch_{epoch}.json"), "w") as f:
+        json.dump(meta, f)
+    # meta.json stays as the latest-epoch view (backwards compat + at-a-glance)
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(
-            dict(
-                epoch=epoch,
-                d_bn_eval=trainer.engine.d_bn_eval,
-                iters=trainer._iters,
-                has_ae=trainer.engine.ae_params is not None,
-                has_last_mask=trainer.engine.last_mask is not None,
-                has_last_scores=trainer.engine.last_scores is not None,
-                last_threshold=(
-                    None if trainer.engine.last_threshold is None
-                    else float(trainer.engine.last_threshold)
-                ),
-                band_cooloff=trainer.engine.band_cooloff,
-            ),
-            f,
-        )
+        json.dump(meta, f)
     return path
 
 
@@ -87,10 +93,16 @@ def restore_checkpoint(path: str, trainer, epoch: Optional[int] = None) -> int:
         ]
         epoch = max(epochs)
     meta = {}
-    meta_p = os.path.join(path, "meta.json")
-    if os.path.exists(meta_p):
-        with open(meta_p) as f:
-            meta = json.load(f)
+    # prefer the restored epoch's own metadata; meta.json (latest-epoch view)
+    # is the fallback for checkpoints written before per-epoch metas existed
+    for meta_p in (
+        os.path.join(path, f"meta_epoch_{epoch}.json"),
+        os.path.join(path, "meta.json"),
+    ):
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                meta = json.load(f)
+            break
     with ocp.StandardCheckpointer() as ckptr:
         template = dict(
             state=trainer.state,

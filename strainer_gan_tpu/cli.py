@@ -26,10 +26,11 @@ def force_eval_suite(cfg, n_samples: int):
     ev = cfg.eval
     if ev.fid or ev.feature_distance or ev.wasserstein:
         return cfg
-    from .config import EvalConfig
-
-    return cfg.replace(eval=EvalConfig(
-        fid=True, feature_distance=True, wasserstein=True,
+    # replace() rather than a fresh EvalConfig: the preset's non-metric knobs
+    # (fid_every_epochs, fid_normalize_activations — e.g. the reference's
+    # L2-normalized-FID quirk, `# 1,2,8.py:204`) must survive a forced --eval.
+    return cfg.replace(eval=dataclasses.replace(
+        ev, fid=True, feature_distance=True, wasserstein=True,
         fid_n_samples=n_samples,
     ))
 

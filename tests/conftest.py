@@ -41,15 +41,31 @@ if _xdist_uid:
 
 def pytest_sessionfinish(session, exitstatus):
     # xdist controller (no workerinput) outlives all workers: best-effort
-    # cleanup of this run's shared compile cache.
+    # cleanup of THIS run's shared compile cache only — a blanket glob would
+    # clobber the live cache of a concurrent session on the same machine.
+    # Stale dirs from killed runs are swept too, but gated on mtime age so a
+    # running session's cache (constantly touched by writes) is never hit.
     if getattr(session.config, "workerinput", None) is None:
         import glob
         import shutil
+        import time
 
+        if _xdist_uid:
+            shutil.rmtree(
+                os.path.join(
+                    tempfile.gettempdir(), f"strainer-jaxcache-{_xdist_uid}"
+                ),
+                ignore_errors=True,
+            )
+        cutoff = time.time() - 24 * 3600
         for d in glob.glob(
             os.path.join(tempfile.gettempdir(), "strainer-jaxcache-*")
         ):
-            shutil.rmtree(d, ignore_errors=True)
+            try:
+                if os.path.getmtime(d) < cutoff:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -231,12 +231,60 @@ def test_sampling_exact_under_chunking():
     # programs; their bf16 rounding can flip an in-step quantile-boundary
     # mask decision, after which the trainings genuinely diverge (Adam
     # amplification).  The scheduling claim is the frame COUNT/positions
-    # above; content gets a loose statistical bound only.
+    # above; bf16 content gets a loose statistical bound only — the f32
+    # companion test below pins content tightly where no flip can occur.
     for a, b in zip(t_chunk.img_list[1:], t_step.img_list[1:]):
         assert np.abs(a - b).mean() < 0.08
     # distinct capture points produce distinct frames (the pre-fix behavior
     # duplicated the chunk-boundary state across in-chunk sample points)
     assert np.abs(t_chunk.img_list[0] - t_chunk.img_list[1]).max() > 1e-5
+
+
+def test_sampling_exact_under_chunking_f32():
+    """f32 companion of the above, pinning frame CONTENT.  Even in f32 the
+    two compiled programs differ by fusion-level rounding (~1e-7 relative at
+    step 2, measured) which GAN+Adam dynamics amplify ~10x/step — so
+    long-trajectory allclose is unattainable IN PRINCIPLE across different
+    programs.  The robust content claim is nearest-state discrimination:
+    measured, each chunked frame sits ~6e-3 (mean abs) from its own capture
+    point but ~0.1 from every OTHER capture point, so a regression that
+    captures frames at the wrong state fails the factor-4 margin below while
+    honest trajectory drift passes."""
+    import dataclasses
+
+    base = get_preset("batch_mask")
+
+    def run(spd):
+        cfg = base.replace(
+            data=dataclasses.replace(base.data, batch_size=8),
+            model=dataclasses.replace(base.model, compute_dtype="float32"),
+            train=dataclasses.replace(
+                base.train, epochs=1, log_every=0, steps_per_dispatch=spd,
+                sample_every=5,
+            ),
+            strain=dataclasses.replace(base.strain, mask_start_epoch=0),
+        )
+        tr = Trainer(cfg, max_synth=72)
+        tr.run(1)
+        return tr
+
+    t_chunk = run(4)
+    t_step = run(1)
+    assert len(t_chunk.img_list) == len(t_step.img_list) == 3
+    # pre-amplification steps agree to f32 rounding
+    np.testing.assert_allclose(
+        t_chunk.logger.D_losses[:3], t_step.logger.D_losses[:3],
+        rtol=1e-5, atol=1e-7,
+    )
+    frames_c = [np.asarray(f) for f in t_chunk.img_list]
+    frames_s = [np.asarray(f) for f in t_step.img_list]
+    for i, a in enumerate(frames_c):
+        d = [np.abs(a - b).mean() for b in frames_s]
+        d_same = d[i]
+        d_cross = min(d[j] for j in range(len(d)) if j != i)
+        assert d_same < 0.25 * d_cross, (
+            f"frame {i}: {d_same=} vs nearest other capture point {d_cross=}"
+        )
 
 
 def test_chunked_pool_concat_matches_per_step():

@@ -132,3 +132,38 @@ def test_resume_restores_strain_scores_for_parity(tmp_path):
                                np.asarray(tr.engine.last_scores))
     assert resumed.engine.last_threshold is not None
     assert agreement_report(resumed, epoch=1) == before
+
+
+def test_restore_earlier_epoch_uses_that_epochs_metadata(tmp_path):
+    """Metadata is per-epoch, not latest-wins (round-4 ADVICE): a checkpoint
+    dir holding a pre-strain epoch AND a post-strain epoch must restore the
+    EARLIER epoch with its own metadata.  Before the fix the single meta.json
+    carried the last save's has_last_scores flag, so the restore template
+    gained a key the earlier payload lacks and orbax failed (or, with
+    compatible flags, iters/last_threshold silently came from the wrong
+    epoch)."""
+    cfg = _cfg()
+    tr = Trainer(cfg, feature_fn=_feat(), max_synth=48)
+    tr.setup()
+    tr.run_epoch(0)  # pre-strain: no last_mask / last_scores yet
+    assert tr.engine.last_mask is None
+    iters_e0 = tr._iters
+    save_checkpoint(str(tmp_path / "ck"), tr, epoch=0)
+    tr.run_epoch(1)  # strain fires here (start_epoch=1)
+    assert tr.engine.last_scores is not None
+    save_checkpoint(str(tmp_path / "ck"), tr, epoch=1)
+
+    # latest-epoch restore (default) still sees the strain evidence
+    r1 = Trainer(cfg, feature_fn=_feat(), max_synth=48)
+    r1.setup()
+    assert restore_checkpoint(str(tmp_path / "ck"), r1) == 2
+    assert r1.engine.last_mask is not None
+
+    # explicit earlier-epoch restore pairs epoch-0 payload with epoch-0 meta
+    r0 = Trainer(cfg, feature_fn=_feat(), max_synth=48)
+    r0.setup()
+    assert restore_checkpoint(str(tmp_path / "ck"), r0, epoch=0) == 1
+    assert r0.engine.last_mask is None
+    assert r0.engine.last_scores is None
+    assert r0.engine.last_threshold is None
+    assert r0._iters == iters_e0
