@@ -88,11 +88,14 @@ def main():
     if len(sys.argv) > 1:
         ips = bench(batch_size=int(sys.argv[1]))
     else:
-        # ONE declared config for the headline: batch 1024, chunk 32 (the
-        # steady-state winner on v5e; b512/b2048 measure ~4% lower).  No
+        # ONE declared config for the headline: batch 256, chunk 64, scan
+        # unroll 4 — the steady-state winner of the round-5 sweep on the
+        # attached v5e (b256 measured 54.7-55.3k over 4 chunk/unroll combos
+        # and 3 repeat runs; b1024/chunk32 control re-measured 50.8-50.9k in
+        # the same session; full sweep table in STATUS.md).  No per-run
         # best-of-N selection — rerun with an explicit batch size to probe
-        # other points: `python bench.py 512`.
-        ips = bench(batch_size=1024)
+        # other points: `python bench.py 1024`.
+        ips = bench(batch_size=256, iters=256, warmup=64, chunk=64, unroll=4)
     print(
         json.dumps(
             dict(
