@@ -167,6 +167,21 @@ def test_cli_eval_force_enables_suite():
     sg = get_preset("strainer_gan")
     assert force_eval_suite(sg, n_samples=50) is sg
 
+    # non-metric knobs survive the forcing (round-4 ADVICE: a fresh
+    # EvalConfig dropped e.g. the L2-normalized-FID quirk, `# 1,2,8.py:205`)
+    import dataclasses
+
+    from strainer_gan_tpu.config import EvalConfig
+
+    base = get_preset("final").replace(eval=EvalConfig(
+        fid=False, feature_distance=False, wasserstein=False,
+        fid_normalize_activations=True, fid_every_epochs=100,
+    ))
+    forced = force_eval_suite(base, n_samples=10)
+    assert forced.eval.fid
+    assert forced.eval.fid_normalize_activations
+    assert forced.eval.fid_every_epochs == 100
+
 
 def test_serve_sampler_roundtrip(tmp_path):
     from strainer_gan_tpu.checkpoint import save_checkpoint
