@@ -51,7 +51,8 @@ def _synth_images(n: int, rng) -> "np.ndarray":
 
 def bench_trainer(preset: str, batch_size: int = 1024,
                   n_synth: int = 66000, timed_epochs: int = 3,
-                  log_every: int = 0) -> dict:
+                  log_every: int = 0, steps_per_dispatch: int = 32,
+                  scan_unroll: int = 1) -> dict:
     from strainer_gan_tpu.config import get_preset
     from strainer_gan_tpu.obs.metrics import MetricsLogger
     from strainer_gan_tpu.train.loop import Trainer
@@ -61,7 +62,7 @@ def bench_trainer(preset: str, batch_size: int = 1024,
         data=dataclasses.replace(base.data, batch_size=batch_size),
         train=dataclasses.replace(
             base.train, epochs=4, log_every=log_every, sample_every=0,
-            steps_per_dispatch=32,
+            steps_per_dispatch=steps_per_dispatch, scan_unroll=scan_unroll,
         ),
         strain=dataclasses.replace(
             base.strain,
@@ -157,10 +158,17 @@ if __name__ == "__main__":
     # serves those lines from stacked chunk metrics, so logging must not
     # cost the strain-event RTT.
     sizes = {"batch_mask": 131072, "final": 66000}
+    # declared execution config per preset, from the round-5 TPU sweep
+    # (STATUS.md): batch_mask is fastest at b512/spd64/unroll2 (49.9k vs
+    # 48.9k at b1024/spd32); `final` is batch-insensitive (its scoring pass
+    # dominates the margins) and keeps the b1024/spd32 control config.
+    exec_cfg = {"batch_mask": dict(batch_size=512, steps_per_dispatch=64,
+                                   scan_unroll=2)}
     which = sys.argv[1:] or ["batch_mask", "final"]
     for token in which:
         preset, _, log_s = token.partition(":log")
         print(json.dumps(bench_trainer(
             preset, n_synth=sizes.get(preset, 66000),
             log_every=int(log_s) if log_s else 0,
+            **exec_cfg.get(preset, {}),
         )), flush=True)
