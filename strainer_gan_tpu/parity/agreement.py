@@ -33,6 +33,13 @@ def agreement_report(trainer, epoch: Optional[int] = None) -> Dict:
             return {}
         scores = np.asarray(eng.last_batch_scores, np.float64)
         ours = np.asarray(eng.last_batch_mask)
+        # drop_last=False epochs end in a lane-masked partial tail: only the
+        # first ``last_batch_valid`` lanes are real samples — the reference's
+        # torch.quantile ran on that smaller final batch, so the oracle must
+        # too (pad lanes carry garbage scores and keep=False by construction)
+        nv = getattr(eng, "last_batch_valid", None)
+        if nv is not None and nv < len(ours):
+            scores, ours = scores[:nv], ours[:nv]
         want, _ = oracle.batch_quantile_keep(scores, sc.mask_quantile)
         agree = oracle.mask_agreement(ours, want)
         return dict(

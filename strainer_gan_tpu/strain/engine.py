@@ -78,6 +78,12 @@ class StrainerEngine:
         self.last_mask = None  # the mask produced by the last strain event
         self.last_batch_scores = None  # in-step mask scores (batch_quantile_mask)
         self.last_batch_mask = None  # the in-step keep mask for those scores
+        # valid leading lanes of last_batch_scores/mask: when the epoch ends
+        # in a drop_last=False partial tail (`#%basic.py:76`), the recorded
+        # step is lane-masked and only the first ``tail`` lanes are real
+        # samples — the parity oracle must quantile those, exactly
+        # torch.quantile on the reference's smaller final batch
+        self.last_batch_valid = None
         self.last_band_stats = None  # [n_band, overflowed, max_drift] (band path)
         # band-overflow hysteresis: a weakly-separating D concentrates most
         # scores inside the band, so the fused path pays bf16 bulk + full-f32

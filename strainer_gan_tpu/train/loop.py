@@ -344,6 +344,7 @@ class Trainer:
         ):
             self.engine.last_batch_scores = None
             self.engine.last_batch_mask = None
+            self.engine.last_batch_valid = None
 
         prev_active = self.engine.active
         active = self.engine.on_epoch_start(epoch, self.state, k_strain)
@@ -367,6 +368,7 @@ class Trainer:
         filtered_parts = []
         last_metrics = None
         last_was_chunk = False
+        last_valid = bs  # valid lanes in the last executed step (tail-aware)
 
         # Deferred-stats epochs (strain event + no mid-epoch sampling): the
         # step count stays a device scalar and the gated chunked executor
@@ -420,7 +422,8 @@ class Trainer:
             def run_one(i):
                 # no-mesh per-step execution; dp runs route through run_chunk
                 # (length 1) so the chunked executor's shardings apply
-                nonlocal last_metrics, last_was_chunk
+                nonlocal last_metrics, last_was_chunk, last_valid
+                last_valid = bs
                 batch = self.dataset.gather(idx[i])
                 src = jnp.take(self.dataset.source_id, idx[i], axis=0)
                 self.state, metrics = self.step_fn(
@@ -437,7 +440,8 @@ class Trainer:
                 last_was_chunk = False
 
             def run_chunk(c0, n):
-                nonlocal last_metrics, last_was_chunk
+                nonlocal last_metrics, last_was_chunk, last_valid
+                last_valid = bs
                 sl = slice(c0, c0 + n)
                 idx_sl, keys_sl = idx[sl], step_keys[sl]
                 if self.mesh is not None:
@@ -474,7 +478,8 @@ class Trainer:
                 # loss means, BN statistics (G and D), in-step quantiles and
                 # contamination counters all see exactly the ``tail``-sample
                 # batch the reference's drop_last=False DataLoader yields
-                nonlocal last_metrics, last_was_chunk
+                nonlocal last_metrics, last_was_chunk, last_valid
+                last_valid = tail
                 if self._partial_fn is None:
                     self._partial_fn = _cached_chunked_step(
                         self.gen, self.disc, self.scfg, mesh=self.mesh,
@@ -686,6 +691,7 @@ class Trainer:
                     filtered_parts.append(m["n_filtered_contam"][:v])
                 last_metrics = tm
                 last_was_chunk = True
+                last_valid = bs
             if m_tail is not None:
                 self.logger.log_step(epoch, t.epochs, full_host, steps, m_tail)
                 if mask_on:
@@ -695,6 +701,7 @@ class Trainer:
                     loss_parts.append(m_tail["real_loss_per_sample"][:tail])
                 last_metrics = m_tail
                 last_was_chunk = False
+                last_valid = tail
         self._iters += steps
         if last_was_chunk:
             last_metrics = {k: v[-1] for k, v in last_metrics.items()}
@@ -721,9 +728,12 @@ class Trainer:
             self.logger.log_contamination(epoch, n_filtered_total, n_contam_total)
         if gate and last_metrics is not None:
             # last batch's in-step scores + mask, for the runtime parity
-            # report (parity/agreement.py batch_quantile_mask branch)
+            # report (parity/agreement.py batch_quantile_mask branch); on a
+            # drop_last=False epoch the last step is the lane-masked partial
+            # tail, so record how many leading lanes are real samples
             self.engine.last_batch_scores = last_metrics["score_probs"]
             self.engine.last_batch_mask = last_metrics["keep_mask"]
+            self.engine.last_batch_valid = last_valid
 
         # periodic FID (`# 1,2,8.py:333-359`: every fid_every_epochs vs the
         # clean-class-only real set, L2-normalized activations variant)

@@ -175,8 +175,21 @@ def test_agreement_report_batch_mask():
     tr.run()
     rep = agreement_report(tr, epoch=1)
     assert rep and rep["method"] == "batch_quantile_mask", rep
-    assert rep["n"] == 16
+    # the batch_mask preset keeps torch's drop_last=False (`#%basic.py:76`),
+    # so the epoch's LAST step — the one the report records — is the partial
+    # tail: 70 samples (64 primary + 6 contaminant) at batch 16 -> 6 valid
+    # lanes, and the oracle quantiles exactly that smaller final batch
+    assert rep["n"] == tr.dataset.n % 16 == 6
     assert rep["agreement"] >= 0.99, rep
+
+    # full-batch case: drop_last=True makes the last step a full batch
+    cfg_dl = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=16,
+                                                  drop_last=True))
+    tr_dl = Trainer(cfg_dl, max_synth=64)
+    tr_dl.run()
+    rep_dl = agreement_report(tr_dl, epoch=1)
+    assert rep_dl and rep_dl["n"] == 16
+    assert rep_dl["agreement"] >= 0.99, rep_dl
 
 
 def test_agreement_report_dbscan_runs_sklearn():
